@@ -1,0 +1,297 @@
+"""PDF layout kernel: pre-parsed elements -> ordered spans (per document).
+
+Re-expresses the reference's layout pipeline with numpy per doc:
+
+  - textbox grouping by (p_num, boxnum) with bbox min/max agg
+    (reference extract_textstructure.py:99-158)
+  - reading-order sort (p_num asc, y0 desc, x0 asc)
+    (reference extract_textstructure.py:418)
+  - vertical-text and 1-char-box exclusion
+    (reference extract_textstructure.py:410-412)
+  - graphics filtering (huge page-background + tiny decorations)
+    (reference extract_tables.py:893-949)
+  - table-area candidates via single-linkage clustering of graphics
+    with gap-distance threshold; union-find replaces sklearn
+    AgglomerativeClustering — same single-linkage result
+    (reference extract_tables.py:1099-1174, cluster_utils.py:681-721)
+  - grid-line inference via 1-D gap clustering (cluster1D,
+    reference cluster_utils.py:727-733) and cell text assignment
+    (sweep-line equivalent for ruled tables,
+    reference extract_tables.py:400-608)
+  - table validity check (intent of the frozen decision tree at
+    extract_tables.py:752-758; see is_valid_table docstring)
+  - covered-text anti-join: text boxes inside a valid table area are
+    consumed by the table span (reference extract_textstructure.py:368-372)
+  - title detection: deterministic font-size-quantile + word-count rule
+    standing in for the reference's unseeded IsolationForest
+    (extract_textstructure.py:172-256; SURVEY.md §7.3 risk 2)
+
+Runs per document inside Arrow-batched `mapInPandas` — no per-row
+Python at the Spark level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..constants import (
+    CELL_BORDER_TOLERANCE,
+    KIND_HEADER,
+    KIND_IMAGE,
+    KIND_TABLE,
+    KIND_TEXT,
+    MAX_GRAPHIC_PAGE_AREA_RATIO,
+    MAX_TABLE_ASPECT,
+    MIN_BOX_TEXT_CHARS,
+    MIN_CELL_WIDTH,
+    MIN_TABLE_AREA_H,
+    MIN_TABLE_AREA_W,
+    TABLE_AREA_CLUSTER_THRESHOLD,
+    TITLE_MAX_WORDS,
+    TITLE_SIZE_RATIO,
+    VERTICAL_ORIENTATION,
+)
+from .spantext import table_to_text
+
+PAGE_W, PAGE_H = 612.0, 792.0  # US-Letter 72dpi default (pdf_utils.py:220-223)
+
+
+# ------------------------------------------------------------ union-find
+
+
+def _union_find_cluster(connect: np.ndarray) -> np.ndarray:
+    """Labels connected components of a boolean adjacency matrix.
+    Single-linkage clustering over a thresholded distance graph ==
+    AgglomerativeClustering(linkage='single', distance_threshold)."""
+    n = connect.shape[0]
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    ii, jj = np.nonzero(np.triu(connect, 1))
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[rj] = ri
+    return np.array([find(i) for i in range(n)])
+
+
+def _pairwise_gap_distance(boxes: np.ndarray) -> np.ndarray:
+    """Chebyshev gap distance between bboxes (negative -> overlap treated
+    as 0).  boxes: (n,4) [x0,y0,x1,y1]."""
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    dx = np.maximum(
+        np.maximum(x0[:, None], x0[None, :]) - np.minimum(x1[:, None], x1[None, :]), 0.0
+    )
+    dy = np.maximum(
+        np.maximum(y0[:, None], y0[None, :]) - np.minimum(y1[:, None], y1[None, :]), 0.0
+    )
+    return np.maximum(dx, dy)
+
+
+def _cluster_1d(vals: np.ndarray, tol: float) -> np.ndarray:
+    """Sorted 1-D values -> merged representative positions (mean of each
+    gap-separated run).  Equivalent of the reference's cluster1D."""
+    if len(vals) == 0:
+        return vals
+    v = np.sort(vals)
+    splits = np.nonzero(np.diff(v) > tol)[0] + 1
+    return np.array([g.mean() for g in np.split(v, splits)])
+
+
+# ---------------------------------------------------------------- tables
+
+
+def is_valid_table(grid: list[list[str]], n_cell_texts: int) -> bool:
+    """Structural validity: >=2 rows, >=2 cols, and at least half of the
+    grid cells carry text.
+
+    The reference uses a frozen 2-split decision tree over pdfminer word
+    geometry (thresholds 1.2666667699813843 / 11.474941492080688,
+    extract_tables.py:752-758).  Those features need raw char-level word
+    boxes that the pre-parsed element fixture does not carry; this check
+    preserves the tree's intent (reject sparse/degenerate candidates).
+    """
+    if len(grid) < 2 or not grid or len(grid[0]) < 2:
+        return False
+    total = len(grid) * len(grid[0])
+    filled = sum(1 for row in grid for c in row if c)
+    return filled * 2 >= total
+
+
+def _detect_tables_on_page(
+    g: pd.DataFrame, lines: pd.DataFrame
+) -> list[tuple[float, float, float, float, str]]:
+    """graphics + text lines of one page -> [(x0,y0,x1,y1, table_text)].
+
+    Ruled-table path: cluster graphics into areas, infer the grid from
+    h/v line positions, assign text lines to cells by center point.
+    """
+    if g.empty:
+        return []
+    gb = g[["x0", "y0", "x1", "y1"]].to_numpy(float)
+    w = gb[:, 2] - gb[:, 0]
+    h = gb[:, 3] - gb[:, 1]
+    # filter: huge page-background graphics and tiny decorations
+    # (extract_tables.py:893-949)
+    area_ratio = (np.abs(w) * np.abs(h)) / (PAGE_W * PAGE_H)
+    keep = (area_ratio < MAX_GRAPHIC_PAGE_AREA_RATIO) & (
+        np.maximum(np.abs(w), np.abs(h)) >= MIN_CELL_WIDTH
+    )
+    gb = gb[keep]
+    if len(gb) == 0:
+        return []
+
+    labels = _union_find_cluster(
+        _pairwise_gap_distance(gb) <= TABLE_AREA_CLUSTER_THRESHOLD
+    )
+    out = []
+    lx = lines[["x0", "y0", "x1", "y1"]].to_numpy(float) if not lines.empty else np.zeros((0, 4))
+    ltxt = lines["rawtext"].tolist() if not lines.empty else []
+
+    for lab in np.unique(labels):
+        cb = gb[labels == lab]
+        ax0, ay0 = cb[:, 0].min(), cb[:, 1].min()
+        ax1, ay1 = cb[:, 2].max(), cb[:, 3].max()
+        aw, ah = ax1 - ax0, ay1 - ay0
+        # area filters (extract_tables.py:1177-1210)
+        if aw < MIN_TABLE_AREA_W or ah < MIN_TABLE_AREA_H:
+            continue
+        if aw / max(ah, 1e-9) > MAX_TABLE_ASPECT or ah / max(aw, 1e-9) > MAX_TABLE_ASPECT:
+            continue
+        # grid lines: horizontal segments (h ~ 0), vertical segments (w ~ 0)
+        ch = cb[:, 3] - cb[:, 1]
+        cw = cb[:, 2] - cb[:, 0]
+        hy = cb[(np.abs(ch) <= 2.0) & (cw > MIN_CELL_WIDTH), 1]
+        vx = cb[(np.abs(cw) <= 2.0) & (ch > MIN_CELL_WIDTH), 0]
+        row_b = _cluster_1d(hy, CELL_BORDER_TOLERANCE)  # ascending y
+        col_b = _cluster_1d(vx, CELL_BORDER_TOLERANCE)  # ascending x
+        if len(row_b) < 2 or len(col_b) < 2:
+            continue
+        nrows, ncols = len(row_b) - 1, len(col_b) - 1
+        grid = [["" for _ in range(ncols)] for _ in range(nrows)]
+        n_assigned = 0
+        if len(lx):
+            cx = (lx[:, 0] + lx[:, 2]) / 2.0
+            cy = (lx[:, 1] + lx[:, 3]) / 2.0
+            inside = (cx >= ax0) & (cx <= ax1) & (cy >= ay0) & (cy <= ay1)
+            for i in np.nonzero(inside)[0]:
+                ci = int(np.searchsorted(col_b, cx[i]) - 1)
+                ri = int(np.searchsorted(row_b, cy[i]) - 1)
+                if 0 <= ci < ncols and 0 <= ri < nrows:
+                    # rows emitted top->bottom: row 0 = highest y band
+                    r_top = nrows - 1 - ri
+                    cell = ltxt[i] or ""
+                    grid[r_top][ci] = (
+                        (grid[r_top][ci] + " " + cell).strip() if grid[r_top][ci] else cell
+                    )
+                    n_assigned += 1
+        if is_valid_table(grid, n_assigned):
+            out.append((ax0, ay0, ax1, ay1, table_to_text(grid)))
+    return out
+
+
+# ----------------------------------------------------------------- kernel
+
+
+def doc_title_size_cut(elements: pd.DataFrame) -> float:
+    """Doc-level title font-size threshold = TITLE_SIZE_RATIO * median of
+    text-line font sizes.  Computed OUTSIDE the page kernel so pages of a
+    giant doc can be processed in parallel buckets (skew defusal,
+    SURVEY.md §4); the Spark pipeline computes the same value JVM-side
+    with F.median and passes it in."""
+    sizes = elements.loc[elements["type"] == "Text", "font_size"].dropna()
+    if sizes.empty:
+        return float("inf")
+    return float(np.median(sizes.to_numpy(float))) * TITLE_SIZE_RATIO
+
+
+def extract_pdf_items(
+    elements: pd.DataFrame, size_cut: float
+) -> list[tuple[int, float, float, str, str | None, str | None]]:
+    """Elements (any subset of a doc's pages) -> UNORDERED items
+    [(p_num, y0, x0, kind, text, media_ref)].  Page-local: safe to call
+    per page bucket; caller sorts by (p_num, -y0, x0) for reading order.
+    """
+    if elements.empty:
+        return []
+    el = elements
+
+    text = el[
+        (el["type"] == "Text")
+        & el["rawtext"].notna()
+        & (el["mean_char_orientation"].fillna(0.0) != VERTICAL_ORIENTATION)
+    ]
+    graphics = el[el["type"] == "Graphic"]
+    images = el[el["type"] == "Image"]
+
+    items: list[tuple[int, float, float, str, str | None, str | None]] = []
+    # (p_num, y0, x0, kind, text, media_ref)
+
+    # ---- tables first (to know which text boxes they consume)
+    table_areas_by_page: dict[int, list[tuple[float, float, float, float]]] = {}
+    for p in sorted(set(graphics["p_num"].tolist())):
+        t_areas = _detect_tables_on_page(
+            graphics[graphics["p_num"] == p], text[text["p_num"] == p]
+        )
+        table_areas_by_page[p] = [(a[0], a[1], a[2], a[3]) for a in t_areas]
+        for ax0, ay0, _ax1, _ay1, ttext in t_areas:
+            items.append((int(p), float(ay0), float(ax0), KIND_TABLE, ttext, None))
+
+    # ---- text boxes: group by (p_num, boxnum), lines joined in linenum
+    # order by ' ' (box text normal form), bbox = min/max
+    if not text.empty:
+        tt = text.sort_values(["p_num", "boxnum", "linenum"], kind="mergesort")
+        grouped = tt.groupby(["p_num", "boxnum"], sort=False).agg(
+            x0=("x0", "min"),
+            y0=("y0", "min"),
+            x1=("x1", "max"),
+            y1=("y1", "max"),
+            btext=("rawtext", lambda s: " ".join(v for v in s if v)),
+            font_size=("font_size", "max"),
+            words=("rawtext", lambda s: sum(len((v or "").split()) for v in s)),
+        )
+        grouped = grouped[grouped["btext"].str.len() >= MIN_BOX_TEXT_CHARS]
+
+        for (p, _b), row in grouped.iterrows():
+            # anti-join: inside a valid table area on this page -> consumed
+            covered = any(
+                row["x0"] >= ax0 - 1 and row["x1"] <= ax1 + 1
+                and row["y0"] >= ay0 - 1 and row["y1"] <= ay1 + 1
+                for ax0, ay0, ax1, ay1 in table_areas_by_page.get(int(p), [])
+            )
+            if covered:
+                continue
+            is_title = (
+                row["font_size"] is not None
+                and float(row["font_size"]) >= size_cut
+                and int(row["words"]) < TITLE_MAX_WORDS
+            )
+            items.append(
+                (int(p), float(row["y0"]), float(row["x0"]),
+                 KIND_HEADER if is_title else KIND_TEXT, row["btext"], None)
+            )
+
+    # ---- images
+    for _, row in images.iterrows():
+        items.append(
+            (int(row["p_num"]), float(row["y0"]), float(row["x0"]),
+             KIND_IMAGE, None, row.get("media_ref"))
+        )
+
+    return items
+
+
+def extract_pdf_spans(elements: pd.DataFrame) -> list[tuple[str, str | None, str | None]]:
+    """One FULL document's elements -> reading-ordered (kind, text,
+    media_ref).  Single-process oracle path used by tests; the Spark
+    pipeline runs extract_pdf_items per page bucket and sorts JVM-side."""
+    items = extract_pdf_items(elements, doc_title_size_cut(elements))
+    # reading order: p asc, y0 desc, x0 asc (extract_textstructure.py:418)
+    items.sort(key=lambda t: (t[0], -t[1], t[2]))
+    return [(k, txt, ref) for _p, _y, _x, k, txt, ref in items]

@@ -1,0 +1,361 @@
+"""End-to-end extraction pipeline (Spark-first).
+
+Logical plan (all relational steps are JVM-side / whole-stage-codegen;
+Python appears only in two Arrow-batched kernels):
+
+  documents_in (doc_id, spans)
+    └─ posexplode(spans) ────────────────────────────┐ single pass
+         ├─ kind='text'   → split/posexplode (pure Spark SQL)
+         ├─ kind='html'   → mapInPandas html kernel
+         ├─ kind='pdf_ref'→ join pdf_elements → per-(doc,page-bucket)
+         │                  applyInPandas layout kernel → join back
+         ├─ kind='image_ref' → projection
+         └─ union → window(offset) → array_sort → collect per doc
+
+Scale properties (SURVEY.md §4):
+  * giant PDFs are split into page buckets BEFORE the kernel, so a
+    5000-page doc parallelizes across executors; reading order is
+    restored by a JVM-side array_sort on (span_idx, p_num, -y0, x0) —
+    a per-doc sort, never a global sort;
+  * the doc-level title threshold (median font size) is computed with
+    F.median in a hash aggregate, not inside the kernel, keeping the
+    kernel page-local;
+  * html spans are hash-repartitioned for balance; AQE handles residual
+    skew;
+  * failures never kill a task: per-doc try/except inside kernels emits
+    KIND_ERROR rows that surface as the `error` column + parse_failures
+    metrics (reference semantics: .default()/forgiving_extracts,
+    operators_base.py:186-194, dask_operators.py:48-57).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .constants import (
+    IN_KIND_HTML,
+    IN_KIND_IMAGE_REF,
+    IN_KIND_PDF_REF,
+    IN_KIND_TEXT,
+    KIND_ERROR,
+    KIND_IMAGE,
+    KIND_TEXT,
+    PARAGRAPH_SPLIT_REGEX,
+    TITLE_SIZE_RATIO,
+)
+
+PAGES_PER_BUCKET = 8
+
+# mid-pipeline row shape: one output span + its reading-order sort keys
+_OUT_SPAN = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("span_idx", IntegerType(), False),
+        StructField("ord1", DoubleType(), False),
+        StructField("ord2", DoubleType(), False),
+        StructField("ord3", DoubleType(), False),
+        StructField("kind", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("media_ref", StringType(), True),
+    ]
+)
+
+_PDF_ITEM = StructType(
+    [
+        StructField("ref", StringType(), False),
+        StructField("p_num", IntegerType(), False),
+        StructField("y0", DoubleType(), False),
+        StructField("x0", DoubleType(), False),
+        StructField("kind", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("media_ref", StringType(), True),
+    ]
+)
+
+
+def explode_input_spans(documents_in: DataFrame) -> DataFrame:
+    return documents_in.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("span.kind").alias("in_kind"),
+        F.col("span.text").alias("in_text"),
+        F.col("span.media_ref").alias("in_ref"),
+    )
+
+
+# ------------------------------------------------------------- branches
+
+
+def _text_branch(spans: DataFrame) -> DataFrame:
+    """Plain text -> paragraph spans, entirely in Spark SQL
+    (reference extract_textstructure.py:72-82: blank-line split)."""
+    paras = spans.filter(F.col("in_kind") == IN_KIND_TEXT).select(
+        "doc_id",
+        "span_idx",
+        F.posexplode(
+            F.split(F.trim(F.col("in_text")), PARAGRAPH_SPLIT_REGEX)
+        ).alias("pos", "para"),
+    )
+    return paras.filter(F.length(F.trim("para")) > 0).select(
+        "doc_id",
+        "span_idx",
+        F.col("pos").cast("double").alias("ord1"),
+        F.lit(0.0).alias("ord2"),
+        F.lit(0.0).alias("ord3"),
+        F.lit(KIND_TEXT).alias("kind"),
+        F.trim("para").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+
+
+def _html_kernel(batches):
+    """mapInPandas kernel: html payload -> output span rows."""
+    from .functions.htmlparse import extract_html_spans
+
+    cols = ["doc_id", "span_idx", "ord1", "ord2", "ord3", "kind", "text", "media_ref"]
+    for pdf in batches:
+        rows = []
+        for doc_id, span_idx, raw in zip(
+            pdf["doc_id"], pdf["span_idx"], pdf["in_text"]
+        ):
+            try:
+                for i, (k, t, r) in enumerate(extract_html_spans(raw or "")):
+                    rows.append((doc_id, int(span_idx), float(i), 0.0, 0.0, k, t, r))
+            except Exception as e:  # failure containment, never task death
+                rows.append(
+                    (doc_id, int(span_idx), 0.0, 0.0, 0.0, KIND_ERROR,
+                     f"html_parse_error: {type(e).__name__}: {e}", None)
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def _html_branch(spans: DataFrame, parallelism: int) -> DataFrame:
+    html = spans.filter(F.col("in_kind") == IN_KIND_HTML).select(
+        "doc_id", "span_idx", "in_text"
+    )
+    # hash repartition spreads giant docs' spans evenly (skew defusal)
+    html = html.repartition(parallelism, "doc_id", "span_idx")
+    return html.mapInPandas(_html_kernel, _OUT_SPAN)
+
+
+def _pdf_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel over one (doc, page_bucket) group."""
+    from .functions.pdflayout import extract_pdf_items
+
+    cols = ["ref", "p_num", "y0", "x0", "kind", "text", "media_ref"]
+    if pdf.empty:
+        return pd.DataFrame(columns=cols)
+    ref = pdf["doc_id"].iloc[0]
+    size_cut = float(pdf["size_cut"].iloc[0])
+    try:
+        items = extract_pdf_items(pdf, size_cut)
+        rows = [(ref, p, y, x, k, t, r) for p, y, x, k, t, r in items]
+    except Exception as e:
+        rows = [(ref, 0, 0.0, 0.0, KIND_ERROR,
+                 f"pdf_parse_error: {type(e).__name__}: {e}", None)]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _pdf_branch(spans: DataFrame, pdf_elements: DataFrame) -> DataFrame:
+    refs = spans.filter(F.col("in_kind") == IN_KIND_PDF_REF).select(
+        "doc_id", "span_idx", "in_ref"
+    )
+    # doc-level title threshold: JVM-side exact median (same value the
+    # oracle computes with np.median), keeps the layout kernel page-local
+    size_cuts = (
+        pdf_elements.filter(
+            (F.col("type") == "Text") & F.col("font_size").isNotNull()
+        )
+        .groupBy("doc_id")
+        .agg((F.median("font_size") * F.lit(TITLE_SIZE_RATIO)).alias("size_cut"))
+    )
+    el = pdf_elements.withColumn(
+        "page_bucket", (F.col("p_num") / F.lit(PAGES_PER_BUCKET)).cast("int")
+    ).join(size_cuts, "doc_id", "left").fillna({"size_cut": float("inf")})
+
+    items = el.groupBy("doc_id", "page_bucket").applyInPandas(
+        _pdf_kernel, _PDF_ITEM
+    )
+
+    return refs.join(items, refs.in_ref == items.ref).select(
+        "doc_id",
+        "span_idx",
+        F.col("p_num").cast("double").alias("ord1"),
+        (-F.col("y0")).alias("ord2"),
+        F.col("x0").alias("ord3"),
+        "kind",
+        "text",
+        items.media_ref.alias("media_ref"),
+    )
+
+
+def _image_branch(spans: DataFrame) -> DataFrame:
+    return spans.filter(F.col("in_kind") == IN_KIND_IMAGE_REF).select(
+        "doc_id",
+        "span_idx",
+        F.lit(0.0).alias("ord1"),
+        F.lit(0.0).alias("ord2"),
+        F.lit(0.0).alias("ord3"),
+        F.lit(KIND_IMAGE).alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("in_ref").alias("media_ref"),
+    )
+
+
+# ------------------------------------------------------------- assembly
+
+
+def extract(
+    spark: SparkSession,
+    documents_in: DataFrame,
+    pdf_elements: DataFrame | None = None,
+    parallelism: int = 32,
+) -> DataFrame:
+    """documents_in (+ pdf_elements side table) -> extracted
+    (doc_id, spans array<struct<kind,text,media_ref,offset>>, error)."""
+    if pdf_elements is None:
+        from .schemas import PDF_ELEMENT
+
+        pdf_elements = spark.createDataFrame([], schema=PDF_ELEMENT)
+
+    spans = explode_input_spans(documents_in)
+    out = (
+        _text_branch(spans)
+        .unionByName(_html_branch(spans, parallelism))
+        .unionByName(_pdf_branch(spans, pdf_elements))
+        .unionByName(_image_branch(spans))
+    )
+
+    # running char offset over the doc's reading-ordered span stream;
+    # error spans contribute 0 and are routed to the error column
+    order_cols = [F.col(c) for c in ("span_idx", "ord1", "ord2", "ord3")]
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    text_len = F.when(F.col("kind") == KIND_ERROR, F.lit(0)).otherwise(
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+    )
+    out = out.withColumn("offset", F.coalesce(F.sum(text_len).over(w), F.lit(0)).cast("int"))
+
+    assembled = out.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("span_idx", "ord1", "ord2", "ord3", "kind", "text",
+                         "media_ref", "offset")
+            )
+        ).alias("ordered"),
+        F.max(F.when(F.col("kind") == KIND_ERROR, F.col("text"))).alias("error"),
+    )
+    assembled = assembled.select(
+        "doc_id",
+        F.expr(
+            "transform(filter(ordered, x -> x.kind != 'error'),"
+            " x -> struct(x.kind as kind, x.text as text,"
+            " x.media_ref as media_ref, x.offset as offset))"
+        ).alias("spans"),
+        "error",
+    )
+    # preserve docs that produced no output rows (empty spans array)
+    all_docs = documents_in.select("doc_id")
+    return all_docs.join(assembled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(
+            "spans", F.expr(
+                "cast(array() as array<struct<kind:string,text:string,"
+                "media_ref:string,offset:int>>)")
+        ).alias("spans"),
+        "error",
+    )
+
+
+# --------------------------------------------------------------- metrics
+
+
+def metrics_for(extracted: DataFrame, run_id: str | None = None,
+                input_snapshot: str | None = None) -> DataFrame:
+    """Per-partition lineage + metrics rows (north rule; FIXTURES.md §5).
+    Pure JVM aggregation over the extracted frame."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    return (
+        extracted.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("docs_processed"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "parse_failures"),
+            F.sum(F.size("spans")).alias("span_count"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            "partition_id",
+            "docs_processed",
+            "parse_failures",
+            "span_count",
+            F.lit(0).cast("long").alias("elapsed_ms"),
+            F.lit(input_snapshot).alias("input_snapshot"),
+        )
+    )
+
+
+# ------------------------------------------------------------ resumable
+
+
+def run_resumable(
+    spark: SparkSession,
+    documents_in: DataFrame,
+    pdf_elements: DataFrame | None,
+    out_dir: str,
+    run_id: str | None = None,
+    parallelism: int = 32,
+) -> dict:
+    """Resumable batch run: anti-join already-committed doc_ids (the
+    parquet/Iceberg output snapshot IS the checkpoint — SURVEY.md §2.10),
+    extract the remainder, append output + metrics.
+
+    With Iceberg this would be `MERGE INTO`; on plain parquet we append
+    and rely on doc_id anti-join idempotence.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    spans_path = f"{out_dir}/extracted"
+    metrics_path = f"{out_dir}/metrics"
+
+    todo = documents_in
+    try:
+        committed = spark.read.parquet(spans_path).select("doc_id")
+        todo = documents_in.join(committed, "doc_id", "left_anti")
+    except Exception:
+        pass  # first run: nothing committed yet
+
+    n_todo = todo.count()
+    t0 = time.monotonic()
+    if n_todo:
+        extracted = extract(spark, todo, pdf_elements, parallelism)
+        extracted.write.mode("append").parquet(spans_path)
+        elapsed_ms = int((time.monotonic() - t0) * 1000)
+        # metrics over this run's committed docs (cheap relational scan of
+        # the fresh output, no kernel re-execution)
+        this_run = spark.read.parquet(spans_path).join(
+            todo.select("doc_id"), "doc_id", "left_semi")
+        m = metrics_for(this_run, run_id=run_id, input_snapshot=spans_path)
+        m = m.withColumn("elapsed_ms", F.lit(elapsed_ms).cast("long"))
+        m.write.mode("append").parquet(metrics_path)
+    else:
+        elapsed_ms = 0
+    return {"run_id": run_id, "docs_processed": n_todo,
+            "elapsed_ms": elapsed_ms, "output": spans_path}

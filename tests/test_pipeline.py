@@ -1,0 +1,78 @@
+"""End-to-end span-sequence equality tests (north rule): the Spark
+pipeline's output must equal the generator's golden spans
+(kind, text, media_ref, order) per doc_id — FIXTURES.md §4."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pydoxtools_spark.fixtures import gen_corpus
+from pydoxtools_spark.pipeline import extract
+from pydoxtools_spark.schemas import DOCUMENTS_IN, PDF_ELEMENT
+
+N_DOCS = 60
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs, pdf, exp = gen_corpus(N_DOCS)
+    docs_df = spark.createDataFrame(docs, schema=DOCUMENTS_IN)
+    pdf_df = spark.createDataFrame(pdf, schema=PDF_ELEMENT)
+    return docs_df, pdf_df, exp
+
+
+def _spans_tuples(rows):
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in rows
+    }
+
+
+def test_span_sequence_equality(spark, corpus):
+    docs_df, pdf_df, exp = corpus
+    result = extract(spark, docs_df, pdf_df, parallelism=8).collect()
+    got = _spans_tuples([r.asDict(recursive=True) for r in result])
+    want = _spans_tuples(exp)
+    assert set(got) == set(want)
+    bad = [d for d in want if got[d] != want[d]]
+    assert not bad, f"{len(bad)} docs mismatch, first: {bad[0]}: " \
+        f"got={got[bad[0]][:3]} want={want[bad[0]][:3]}"
+
+
+def test_no_errors_on_clean_corpus(spark, corpus):
+    docs_df, pdf_df, _ = corpus
+    errs = extract(spark, docs_df, pdf_df, parallelism=8).filter(
+        F.col("error").isNotNull()
+    ).count()
+    assert errs == 0
+
+
+def test_failure_containment(spark):
+    """A hopeless payload must produce an error doc, not a task failure
+    (reference .default()/forgiving semantics, operators_base.py:186-194)."""
+    rows = [
+        {"doc_id": "ok", "spans": [
+            {"kind": "text", "text": "a\n\nb", "media_ref": None, "offset": 0}]},
+        # html kernel sees None text -> extract_html_spans('') -> no spans;
+        # make a doc whose pdf_ref has no elements: yields empty spans
+        {"doc_id": "empty_pdf", "spans": [
+            {"kind": "pdf_ref", "text": None,
+             "media_ref": "media://pdf/none", "offset": 0}]},
+    ]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_IN)
+    out = {r["doc_id"]: r.asDict(recursive=True)
+           for r in extract(spark, df, None, parallelism=2).collect()}
+    assert [s["text"] for s in out["ok"]["spans"]] == ["a", "b"]
+    assert out["empty_pdf"]["spans"] == []
+
+
+def test_offsets_are_running_char_positions(spark, corpus):
+    docs_df, pdf_df, _ = corpus
+    one = extract(spark, docs_df, pdf_df, parallelism=8).limit(5).collect()
+    for r in one:
+        off = 0
+        for s in r["spans"]:
+            assert s["offset"] == off
+            off += len(s["text"] or "")
