@@ -1,38 +1,479 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2
+(or a training-data-pipeline op); ``oracle_sql()`` holds its DuckDB
+twin over the same parquet tables.  Column names/types are aligned on
+both sides (the driver hash-compares values after sorting columns by
+name).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pydoxtools_spark import dispatch  # noqa: E402
+from pydoxtools_spark.operators import bag, dedup, similarity, textstats  # noqa: E402
+from pydoxtools_spark.pipeline import extract  # noqa: E402
+from pydoxtools_spark.schemas import DOCUMENTS_IN  # noqa: E402
+
+SF_DEFAULT = "/root/testdata/sf0.001"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _html_payload_col() -> F.Column:
+    """Deterministic HTML wrapper around documents.text: boilerplate nav
+    + header/paragraph/image main content.  The kernel must strip the
+    boilerplate and recover exactly (header, text, image) spans."""
+    return F.concat(
+        F.lit('<html><head><title>t</title></head><body>'
+              '<nav><ul><li><a href="/a">home</a></li>'
+              '<li><a href="/b">about</a></li></ul></nav>'
+              '<div id="m"><article><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><img src="media://img/'),
+        F.col("doc_id").cast("string"),
+        F.lit('"></article></div>'
+              '<footer><a href="/f">contact</a></footer></body></html>'),
+    )
+
+
+def _as_documents_in(df: DataFrame, payload: F.Column, kind: str) -> DataFrame:
+    return df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit(kind).alias("kind"),
+                payload.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def _exploded_spans(spark: SparkSession, docs_in: DataFrame) -> DataFrame:
+    out = extract(spark, docs_in, None, parallelism=8)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("spans").alias("ord", "span"),
+    ).select(
+        "doc_id",
+        "ord",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("span_text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs_in = _as_documents_in(_docs(spark, sf_dir), _html_payload_col(), "html")
+    return _exploded_spans(spark, docs_in)
+
+
+def q_text_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payload = F.concat(
+        F.trim("text"), F.lit("\n\npart two "), F.col("doc_id").cast("string")
+    )
+    docs_in = _as_documents_in(_docs(spark, sf_dir), payload, "text")
+    return _exploded_spans(spark, docs_in)
+
+
+def q_doc_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    payload = (
+        F.when(F.col("doc_id") % 6 == 0,
+               F.concat(F.lit("<html><body><p>"), F.col("text"),
+                        F.lit("</p></body></html>")))
+        .when(F.col("doc_id") % 6 == 1,
+              F.concat(F.lit("# Title\n\n- a\n- b\n\n**bold** `code` "),
+                       F.col("text")))
+        .when(F.col("doc_id") % 6 == 2,
+              F.concat(F.lit('{"k": '), F.col("doc_id").cast("string"), F.lit("}")))
+        .when(F.col("doc_id") % 6 == 3,
+              F.concat(F.lit('<?xml version="1.0"?><r>'), F.col("text"),
+                       F.lit("</r>")))
+        .when(F.col("doc_id") % 6 == 4,
+              F.concat(F.lit("{{infobox}} [[Page]] "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    return d.select("doc_id", dispatch.doc_type_col(payload).alias("doc_type"))
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        textstats.num_words(F.col("text")).alias("n_words"),
+        textstats.num_tokens(F.col("text")).alias("n_tokens"),
+        textstats.num_pages_text(F.col("text")).alias("n_pages"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dupes = d.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    return dedup.exact_dedup(d.unionByName(dupes))
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sig = dedup.minhash_signature(
+        dedup.char_shingles(F.col("text"), k=5), num_perm=16
+    )
+    return d.select("doc_id", F.array_join(sig, "|").alias("minhash_sig"))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # plant near-duplicates: same text with a short suffix
+    near = d.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" suffix")).alias("text"),
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        d.unionByName(near), threshold=0.5, num_perm=16, bands=4
+    )
+    return pairs.select("id_a", "id_b",
+                        F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", dedup.simhash(F.col("text"), bits=16).alias("simhash"))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    near = d.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("prefix "), F.col("text")).alias("text"),
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        d.unionByName(near), k=3, threshold=0.6, max_df=100000
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    q = e.filter(F.col("vec_id") < 8)
+    return similarity.brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    # plant exact duplicates so dist<=max_dist edges exist
+    clones = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    return similarity.knn_graph(e.unionByName(clones), k=2, max_dist=0.1).select(
+        "src", "dst", "rank"
+    )
+
+
+def q_exploded_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+def q_bag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return bag.bag_stats(d, "n_chars")
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "html_main_content": q_html_main_content,
+        "text_paragraph_spans": q_text_paragraph_spans,
+        "doc_type_dispatch": q_doc_type_dispatch,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_topk": q_ann_topk,
+        "knn_graph": q_knn_graph,
+        "exploded_words": q_exploded_words,
+        "bag_stats": q_bag_stats,
+        "events_rollup": q_events_rollup,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracle
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    norm = "regexp_replace(trim(text), '\\s+', ' ', 'g')"
+    html_oracle = f"""
+    WITH d AS (SELECT doc_id, {norm} AS t FROM documents)
+    SELECT doc_id, 0 AS ord, 'header' AS kind,
+           'Doc ' || doc_id AS span_text,
+           CAST(NULL AS VARCHAR) AS media_ref, 0 AS offset
+    FROM d
+    UNION ALL
+    SELECT doc_id, 1, 'text', t, NULL, length('Doc ' || doc_id) FROM d
+    UNION ALL
+    SELECT doc_id, 2, 'image', NULL, 'media://img/' || doc_id,
+           length('Doc ' || doc_id) + length(t)
+    FROM d
     """
-    return {}
+    text_oracle = """
+    WITH d AS (SELECT doc_id, trim(text) AS t FROM documents)
+    SELECT doc_id, 0 AS ord, 'text' AS kind, t AS span_text,
+           CAST(NULL AS VARCHAR) AS media_ref, 0 AS offset
+    FROM d
+    UNION ALL
+    SELECT doc_id, 1, 'text', 'part two ' || doc_id, NULL, length(t) FROM d
+    """
+    dispatch_payload = """CASE
+      WHEN doc_id % 6 = 0 THEN '<html><body><p>' || text || '</p></body></html>'
+      WHEN doc_id % 6 = 1 THEN '# Title' || chr(10) || chr(10) || '- a' || chr(10) || '- b' || chr(10) || chr(10) || '**bold** `code` ' || text
+      WHEN doc_id % 6 = 2 THEN '{"k": ' || doc_id || '}'
+      WHEN doc_id % 6 = 3 THEN '<?xml version="1.0"?><r>' || text || '</r>'
+      WHEN doc_id % 6 = 4 THEN '{{infobox}} [[Page]] ' || text
+      ELSE text END"""
+    dispatch_oracle = (
+        "SELECT doc_id, "
+        + dispatch.doc_type_sql(f"({dispatch_payload})")
+        + " AS doc_type FROM documents"
+    )
+    token_oracle = r"""
+    SELECT doc_id,
+      len(regexp_extract_all(trim(text), '\S+')) AS n_words,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
+      CAST(1 + floor(length(text) / 1000) AS INT) AS n_pages
+    FROM documents
+    """
+    lang_oracle = (
+        "SELECT doc_id, " + textstats.lang_id_sql("text") + " AS lang_pred FROM documents"
+    )
+    fp_oracle = (
+        "SELECT doc_id, " + textstats.fingerprint_sql("text") + " AS fp FROM documents"
+    )
+    exact_dedup_oracle = r"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents
+    )
+    SELECT min(doc_id) AS doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+           count(*) AS dup_count
+    FROM u GROUP BY 2
+    """
+    # minhash: k=5 char shingles of normalized text; perm i value =
+    # min md5(i || ':' || shingle); 16 perms joined by '|'
+    minhash_oracle = r"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        list_distinct([t[i:i+4] FOR i IN range(1, greatest(length(t)-4,1)+1)]) AS shingles
+      FROM d
+    )
+    SELECT doc_id,
+      list_aggregate(
+        [list_aggregate([md5(p || ':' || s) FOR s IN shingles], 'min')
+         FOR p IN ['0','1','2','3','4','5','6','7','8','9','10','11','12','13','14','15']],
+        'string_agg', '|') AS minhash_sig
+    FROM sh
+    """
+    ann_oracle = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e.v) AS cs
+      FROM q, e WHERE q.query_id != e.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """
+    knn_oracle = """
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (
+      SELECT * FROM e0
+      UNION ALL
+      SELECT vec_id + 10000000, v FROM e0 WHERE vec_id < 50
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(a.v, b.v) AS cs
+      FROM e a, e b WHERE a.vec_id != b.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cs,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cs DESC, dst) AS rank
+      FROM scored)
+    SELECT src, dst, rank FROM ranked WHERE rank <= 2 AND 1.0 - cs <= 0.1
+    """
+    words_oracle = r"""
+    SELECT word, count(*) AS cnt FROM (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      FROM documents)
+    GROUP BY word ORDER BY cnt DESC, word LIMIT 20
+    """
+    stats_oracle = "SELECT sum(n_chars) AS sum_n_chars, count(*) AS n_docs FROM documents"
+    events_oracle = """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """
+    q1_oracle = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """
+    q3_oracle = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """
+    return {
+        "html_main_content": html_oracle,
+        "text_paragraph_spans": text_oracle,
+        "doc_type_dispatch": dispatch_oracle,
+        "token_stats": token_oracle,
+        "lang_id": lang_oracle,
+        "fingerprint": fp_oracle,
+        "exact_dedup": exact_dedup_oracle,
+        "minhash_signature": minhash_oracle,
+        # minhash_lsh_pairs / simhash / ngram_jaccard_pairs: rows-only
+        # (LSH banding + bit-twiddling SQL twins are deliberately omitted
+        # in round 1; the signature/fingerprint primitives they compose
+        # are oracle-checked above)
+        "ann_topk": ann_oracle,
+        "knn_graph": knn_oracle,
+        "exploded_words": words_oracle,
+        "bag_stats": stats_oracle,
+        "events_rollup": events_oracle,
+        "tpch_q1": q1_oracle,
+        "tpch_q3": q3_oracle,
+    }
+
+
+# ----------------------------------------------------------------- entry
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the north-star main-content extraction pipeline over an
+    interleaved corpus synthesized from sf0.001 documents."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMOKE", SF_DEFAULT)
+    return q_html_main_content(spark, sf_dir)

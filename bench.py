@@ -1,0 +1,157 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "extraction": {docs, docs_per_sec},
+   "scaling": {cores_lo, t_lo_sec, cores_hi, t_hi_sec, efficiency}}
+
+The scaling block is the in-sandbox stand-in for the north rule's
+N->4N executor requirement: the same extraction job at local[8] vs
+local[32] on identical input; efficiency = (t_lo/t_hi) / (hi/lo).
+Skip with SPARK_GRAFT_BENCH_SCALING=0 for quick iterations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pydoxtools_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "html_main_content",      # north-star tier 1 (html kernel e2e)
+    "text_paragraph_spans",   # dispatch + text path, pure SQL
+    "doc_type_dispatch",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "ann_topk",
+    "token_stats",
+    "lang_id",
+    "events_rollup",
+    "tpch_q1",
+    "tpch_q3",
+]
+
+
+def _consume(df) -> int:
+    """Force full evaluation without driver collect."""
+    return df.count()
+
+
+def run_suite(spark, sf_dir):
+    qs = entrymod.queries()
+    times, rows = {}, {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        rows[name] = _consume(qs[name](spark, sf_dir))
+        times[name] = round(time.monotonic() - t0, 3)
+    return times, rows
+
+
+def extraction_throughput(spark, sf_dir):
+    """docs/sec for the flagship html extraction (docs counted once)."""
+    import pyspark.sql.functions as F
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    t0 = time.monotonic()
+    entrymod.q_html_main_content(spark, sf_dir).count()
+    dt = time.monotonic() - t0
+    return {"docs": n_docs, "sec": round(dt, 3),
+            "docs_per_sec": round(n_docs / dt, 1)}
+
+
+def _bench_corpus(n_docs: int) -> str:
+    """Generate (once) the interleaved fixture corpus used for the
+    full-pipeline throughput + scaling runs."""
+    corpus_dir = f"/tmp/pydoxtools_bench_corpus_{n_docs}"
+    if not os.path.exists(f"{corpus_dir}/documents_in.parquet/_SUCCESS"):
+        from pydoxtools_spark.fixtures import write_corpus
+
+        spark = get_spark("bench-gen", cores=CPUS, shuffle_partitions=CPUS)
+        write_corpus(spark, corpus_dir, n_docs=n_docs, partitions=CPUS)
+        spark.stop()
+    return corpus_dir
+
+
+def _run_pipeline(spark, corpus_dir: str, parallelism: int, out_dir: str) -> dict:
+    """Timed FULL pipeline run, materialized with a parquet write.
+    (A bare .count() lets Catalyst prune the span payloads out of the
+    kernels — measured 10x 'too fast'; the write is the honest job.)"""
+    import shutil
+
+    from pydoxtools_spark.pipeline import extract
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = spark.read.parquet(f"{corpus_dir}/documents_in.parquet")
+    pdf = spark.read.parquet(f"{corpus_dir}/pdf_elements.parquet")
+    t0 = time.monotonic()
+    extract(spark, docs, pdf, parallelism=parallelism).write.mode(
+        "overwrite").parquet(out_dir)
+    dt = time.monotonic() - t0
+    n = spark.read.parquet(out_dir).count()
+    return {"docs": n, "sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}
+
+
+def scaling_evidence(n_docs: int | None = None, lo=8, hi=32):
+    """North-rule N->4N evidence: the FULL extraction pipeline (html +
+    pdf kernels, giant skew docs included) on the identical corpus at
+    local[lo] vs local[hi]."""
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_BENCH_NDOCS", "24000"))
+    corpus_dir = _bench_corpus(n_docs)
+    out = {}
+    for cores in (lo, hi):
+        spark = get_spark(f"bench-scale-{cores}", cores=cores,
+                          shuffle_partitions=cores)
+        _run_pipeline(spark, corpus_dir, cores, "/tmp/px_bench_warm")  # warm-up
+        out[cores] = _run_pipeline(spark, corpus_dir, cores, "/tmp/px_bench_out")
+        spark.stop()
+    eff = (out[lo]["sec"] / out[hi]["sec"]) / (hi / lo)
+    return {"cores_lo": lo, "t_lo_sec": out[lo]["sec"],
+            "cores_hi": hi, "t_hi_sec": out[hi]["sec"],
+            "docs": out[hi]["docs"],
+            "docs_per_sec_hi": out[hi]["docs_per_sec"],
+            "efficiency": round(eff, 3)}
+
+
+def main():
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    # warm-up: spin up JVM + python workers so the first timed query
+    # doesn't absorb one-time startup cost
+    entrymod.q_html_main_content(spark, SF_DIR).limit(10).count()
+    times, _rows = run_suite(spark, SF_DIR)
+    extr = extraction_throughput(spark, SF_DIR)
+    spark.stop()
+
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        scaling = scaling_evidence()
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline suite wall time (extraction + dedup + "
+                  "similarity + relational) at sf",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "extraction": extr,
+    }
+    if scaling:
+        result["scaling"] = scaling
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

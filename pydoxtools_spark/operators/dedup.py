@@ -1,0 +1,353 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hot paths are pure Spark SQL (higher-order array functions, hash
+aggregates) — no Python UDFs.  Hash primitive is md5 (present in both
+Spark and DuckDB) so every operator has an exact cross-engine oracle;
+fixed-width hex strings compare lexicographically == numerically, so
+`array_min` over md5 hex IS min-hashing.
+
+Scale notes (100 TB):
+  - exact dedup: one hash aggregate on a 32-hex key — the classic
+    map-side-combinable groupBy; no skew (md5 keys uniform).
+  - minhash signatures: computed per-row with transform/aggregate over
+    the shingle array — ZERO shuffle; only the tiny (doc_id, band,
+    band_sig) table shuffles for the LSH bucket join.
+  - LSH bucket join: self-join on (band, band_sig); bucket sizes are
+    bounded because identical band signatures imply near-duplicate
+    docs; AQE skew-join splits pathological buckets.
+  - ngram-jaccard: inverted-index join on shingle hash, count common
+    shingles, |A∪B| = |A|+|B|-common.  Quadratic only within a
+    posting list; frequent-shingle cap bounds it (DF cap like a
+    stopword filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..constants import (
+    MINHASH_BANDS,
+    MINHASH_NUM_PERM,
+    MINHASH_SHINGLE_K,
+    SIMHASH_BITS,
+)
+
+
+def _norm(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the minimum id per exact (normalized) content hash.
+    Returns (doc_id, content_hash, dup_count)."""
+    return (
+        df.select(F.col(id_col), F.md5(_norm(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .select(id_col, "content_hash", "dup_count")
+    )
+
+
+# -------------------------------------------------------------- shingles
+
+
+def char_shingles(col: Column, k: int = MINHASH_SHINGLE_K) -> Column:
+    """Distinct k-char shingles of the normalized text as an array —
+    pure SQL: transform over an index sequence + substring."""
+    t = _norm(col)
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+    )
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (n-gram Jaccard unit)."""
+    words = F.split(_norm(col), " ")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+        )
+    )
+
+
+# --------------------------------------------------------------- minhash
+
+
+def minhash_signature(shingles: Column, num_perm: int = MINHASH_NUM_PERM) -> Column:
+    """num_perm minhash values: for perm i, min over shingles of
+    md5(i || ':' || s).  Fixed-width hex min == numeric min.  Entirely
+    per-row (transform+array_min): no shuffle, no UDF.  Cost is
+    num_perm md5 calls per shingle — use minhash_signature_fast for the
+    production path; this variant exists for its trivially portable
+    DuckDB oracle."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+# universal-hash parameters for the fast minhash: p prime > 2^32;
+# a_i odd < 2^31, b_i < p, both seeded deterministically
+_MH_P = 4294967311
+
+
+def _mh_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random as _r
+
+    rng = _r.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31) | 1, rng.randrange(0, _MH_P))
+        for _ in range(num_perm)
+    ]
+
+
+def minhash_signatures_fast(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = MINHASH_NUM_PERM,
+    seed: int = 42,
+    k: int = MINHASH_SHINGLE_K,
+) -> DataFrame:
+    """Standard minhash with universal hashing, explode+aggregate form:
+    ONE md5 per shingle (h = first 8 hex chars as uint32), then num_perm
+    affine permutations (a*h+b) mod p as map-side-combinable MIN
+    aggregates.  Products stay < 2^63 so bigint math is exact (portable
+    to any 64-bit engine).
+
+    Why explode+agg instead of per-row transform: Catalyst's projection
+    collapse re-inlines a shared `transform(shingles, md5)` subexpression
+    into every permutation lambda (no CSE in interpreted HOFs), making
+    the per-row form num_perm x more expensive.  The hash aggregate
+    shuffles only (id, num_perm longs) per doc.
+
+    Returns (id, sig array<bigint>).
+    """
+    params = _mh_params(num_perm, seed)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("s"),
+    ).select(
+        "id", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("h")
+    )
+    aggs = [
+        F.min((F.col("h") * a + b) % _MH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig")
+    )
+
+
+def minhash_bands(sig: Column, bands: int = MINHASH_BANDS,
+                  num_perm: int = MINHASH_NUM_PERM) -> Column:
+    """Band signatures for LSH: split the signature into `bands` rows of
+    num_perm/bands values, hash each band."""
+    rows = num_perm // bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(sig, b * rows + 1, rows), lambda v: v.cast("string")
+                ),
+                "|",
+            )
+        ),
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_perm: int = MINHASH_NUM_PERM,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash LSH, verified by
+    estimated Jaccard = matching signature positions / num_perm.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    # Stage 1: materialize signatures ONCE (downstream uses them three
+    # times: band explode + two verify joins).  At production scale this
+    # stage is a written signatures table; localCheckpoint is its
+    # single-job equivalent.
+    sigs = minhash_signatures_fast(
+        df, text_col, id_col, num_perm=num_perm
+    ).localCheckpoint(eager=True)
+
+    # Stage 2: LSH band join on ids only (narrow shuffle rows)
+    banded = sigs.select(
+        "id", F.posexplode(minhash_bands(F.col("sig"), bands, num_perm)).alias(
+            "band", "band_sig")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # Stage 3: verify candidates against the materialized signatures
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                        lambda m: m,
+                    )
+                )
+                / F.lit(num_perm)
+            ).alias("est_jaccard"),
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+# --------------------------------------------------------------- simhash
+
+
+def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over word tokens: per token take `bits` bits of
+    md5(token); signature bit j = majority vote.  Pure SQL:
+    aggregate(tokens, zero-vector, vector add of ±1 per bit).
+
+    Returns the signature as a `bits`-char '0'/'1' string (portable
+    across engines — no 64-bit int headaches)."""
+    tokens = F.split(_norm(col), " ")
+
+    # per token: bit j of md5(token) via hex->binary string expansion
+    # (conv(nibble,16,2) lpad'ed to 4) — Column-safe, no bit ops needed
+    def tok_bits(t):
+        h = F.md5(t)
+        nbits = bits // 4
+        binstr = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(nbits)),
+                lambda i: F.lpad(F.conv(F.substring(h, 1, nbits).substr(i, F.lit(1)), 16, 2), 4, "0"),
+            ),
+            "",
+        )
+        return F.transform(
+            F.slice(F.split(binstr, ""), 1, bits),
+            lambda b: F.when(b == "1", 1).otherwise(-1),
+        )
+
+    summed = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, b: a + b),
+    )
+    return F.array_join(
+        F.transform(summed, lambda v: F.when(v > 0, "1").otherwise("0")), ""
+    )
+
+
+def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", max_hamming: int = 3,
+                          bits: int = SIMHASH_BITS,
+                          blocks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming, using
+    the pigeonhole block trick: split the signature into `blocks`
+    substrings; any pair within distance max_hamming < blocks shares at
+    least one exact block -> join on (block_idx, block_value)."""
+    w = bits // blocks
+    sigs = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col), bits).alias("sig"))
+    blocked = sigs.select(
+        "id", "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(blocks - 1)),
+                lambda b: F.substring(F.col("sig"), b * w + 1, w),
+            )
+        ).alias("blk", "blk_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.blk_val") == F.col("b.blk_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split(F.col("sig_a"), ""), F.split(F.col("sig_b"), ""),
+                lambda x, y: x != y,
+            ),
+            lambda m: m,
+        )
+    )
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join.
+    Shingles appearing in > max_df docs are dropped (stopword-shingle
+    cap — bounds posting-list blowup at corpus scale).
+    Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    ).select("id", F.md5("shingle").alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    popular = sh.groupBy("sh").agg(F.count("*").alias("df_cnt")).filter(
+        F.col("df_cnt") > max_df
+    )
+    sh = sh.join(F.broadcast(popular.select("sh")), "sh", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
+    j = (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)

@@ -224,13 +224,24 @@ def extract(
     documents_in: DataFrame,
     pdf_elements: DataFrame | None = None,
     parallelism: int = 32,
+    page_numbers: list[int] | None = None,
+    max_pages: int | None = None,
 ) -> DataFrame:
     """documents_in (+ pdf_elements side table) -> extracted
-    (doc_id, spans array<struct<kind,text,media_ref,offset>>, error)."""
+    (doc_id, spans array<struct<kind,text,media_ref,offset>>, error).
+
+    page_numbers / max_pages restrict PDF extraction to selected pages —
+    the reference's page-slicing semantics (document.py:978-979,
+    1025-1029; pdf_utils.py:306-309) as a JVM-side partition-prunable
+    filter on the elements scan."""
     if pdf_elements is None:
         from .schemas import PDF_ELEMENT
 
         pdf_elements = spark.createDataFrame([], schema=PDF_ELEMENT)
+    if page_numbers is not None:
+        pdf_elements = pdf_elements.filter(F.col("p_num").isin(page_numbers))
+    if max_pages is not None:
+        pdf_elements = pdf_elements.filter(F.col("p_num") < max_pages)
 
     spans = explode_input_spans(documents_in)
     out = (

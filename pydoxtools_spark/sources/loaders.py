@@ -1,0 +1,113 @@
+"""Corpus sources — every ingest path of the reference, Spark-native
+(SURVEY.md §2.1).
+
+| reference                         | here                               |
+|-----------------------------------|------------------------------------|
+| PathLoader (extract_filesystem.py:46-109)  | load_directory (binaryFile src) |
+| load_raw_file_content (:25-38)    | binaryFile `content` column        |
+| force_decode (:13-22)             | decode_text_col                    |
+| SQLTableLoader (dask_operators.py:81-108)  | load_sql_table (partitioned JDBC) |
+| dict/list/yaml loaders (document.py:756-802) | docs_from_json / docs_from_records |
+| DocumentBag path sources (document.py:1461-1472) | same binaryFile scan |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_directory(
+    spark: SparkSession,
+    directory: str,
+    wildcard: str = "*",
+    recursive: bool = True,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Recursive directory scan -> (path, modificationTime, length,
+    content binary).  The reference walks the filesystem in Python
+    (PathLoader); on Spark the binaryFile source distributes the listing
+    and the read, and partition sizing follows
+    spark.sql.files.maxPartitionBytes."""
+    reader = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", wildcard)
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    df = reader.load(directory)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
+def decode_text_col(content: F.Column) -> F.Column:
+    """bytes -> str with utf-8 replace fallback (force_decode semantics;
+    the chardet sniff of the reference is replaced by Spark's decode +
+    replacement chars — a per-doc chardet pass would be a pandas UDF
+    plug-in point)."""
+    return F.decode(content, "UTF-8")
+
+
+def load_sql_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    index_column: str,
+    num_partitions: int = 32,
+    lower: int | None = None,
+    upper: int | None = None,
+    properties: dict | None = None,
+) -> DataFrame:
+    """Partitioned JDBC ingest — the reference's SQLTableLoader
+    (dask read_sql_table with bytes_per_chunk) maps to JDBC range
+    partitioning on the index column."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", index_column)
+        .option("numPartitions", str(num_partitions))
+    )
+    if lower is not None:
+        reader = reader.option("lowerBound", str(lower))
+    if upper is not None:
+        reader = reader.option("upperBound", str(upper))
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def docs_from_json(df: DataFrame, json_col: str = "json") -> DataFrame:
+    """JSON/dict documents -> flattened (key, value) TextBox-style rows
+    (the reference flattens dicts into TextBox elements,
+    document.py:756-802): explode map entries, pure SQL."""
+    parsed = df.select(
+        "doc_id",
+        F.from_json(F.col(json_col), "map<string,string>").alias("m"),
+    )
+    return parsed.select(
+        "doc_id", F.explode_outer("m").alias("key", "value")
+    )
+
+
+def docs_from_records(spark: SparkSession, records: list[dict]) -> DataFrame:
+    """List-of-dicts documents (reference list loader) -> DataFrame."""
+    return spark.createDataFrame(records)
+
+
+# ------------------------------------------------------------------ sinks
+
+
+def to_json_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """to_json/to_dict sink (document_base.py:413-494): line-delimited
+    JSON, partition-parallel."""
+    df.write.mode(mode).json(path)
+
+
+def to_parquet_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def to_csv_sink(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """to_dataframe-style tabular export."""
+    df.write.mode(mode).option("header", "true").csv(path)

@@ -1,0 +1,82 @@
+"""Tests for the composition DSL (§2.9), sources (§2.1), and the
+incremental streaming facade (§2.10)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pydoxtools_spark.plans.pipeline_dsl import PipelineDSL
+from pydoxtools_spark.sources import loaders
+
+
+def test_pipeline_dsl_resolution(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "x")], ["doc_id", "text"])
+    p = (
+        PipelineDSL()
+        .constant("sep", " ")
+        .config("min_len", 2)
+        .node("words", lambda t, sep: F.split(t, sep), ["text", "sep"])
+        .node("n_words", lambda w: F.size(w), ["words"])
+        .alias("wordcount", "n_words")
+        .merge("summary", "n_words", "text")
+    )
+    out = p.apply(df, ["wordcount", "summary"]).collect()
+    assert out[0]["wordcount"] == 2
+    assert out[0]["summary"]["n_words"] == 2
+    # config override at apply time (reference precedence semantics)
+    p2 = PipelineDSL().config("k", 1).node("kk", lambda k: k + 0, ["k"])
+    assert p2.apply(df, ["kk"], overrides={"k": 9}).collect()[0]["kk"] == 9
+
+
+def test_element_wise(spark):
+    df = spark.createDataFrame([(1, ["a", "b"])], ["doc_id", "xs"])
+    p = PipelineDSL().element_wise("up", "xs", lambda x: F.upper(x))
+    assert p.apply(df, ["up"]).collect()[0]["up"] == ["A", "B"]
+
+
+def test_load_directory_binary(spark, tmp_path):
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "a.txt").write_bytes(b"hello")
+    (d / "sub").mkdir()
+    (d / "sub" / "b.txt").write_bytes(b"world!")
+    (d / "sub" / "c.bin").write_bytes(b"\x00\x01")
+    df = loaders.load_directory(spark, str(d), wildcard="*.txt")
+    rows = {os.path.basename(r["path"]): r for r in df.collect()}
+    assert set(rows) == {"a.txt", "b.txt"}
+    decoded = df.select(
+        loaders.decode_text_col(F.col("content")).alias("t")).collect()
+    assert {r["t"] for r in decoded} == {"hello", "world!"}
+
+
+def test_docs_from_json(spark):
+    df = spark.createDataFrame(
+        [("d1", '{"a": "1", "b": "2"}')], ["doc_id", "json"])
+    rows = loaders.docs_from_json(df).collect()
+    assert {(r["key"], r["value"]) for r in rows} == {("a", "1"), ("b", "2")}
+
+
+def test_incremental_streaming_facade(spark, tmp_path):
+    """foreachBatch + AvailableNow over a growing parquet dir processes
+    the backlog exactly once per file."""
+    from pydoxtools_spark.schemas import DOCUMENTS_IN
+    from pydoxtools_spark.streaming.facade import incremental_extract
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [{"doc_id": f"s{i}", "spans": [
+        {"kind": "text", "text": f"a{i}\n\nb{i}", "media_ref": None,
+         "offset": 0}]} for i in range(4)]
+    spark.createDataFrame(rows, schema=DOCUMENTS_IN).write.parquet(in_dir)
+
+    q = incremental_extract(spark, in_dir, None, out_dir, ckpt,
+                            parallelism=2)
+    q.awaitTermination(120)
+    got = spark.read.parquet(f"{out_dir}/extracted")
+    assert got.count() == 4
+    # second invocation: no new files -> no duplicates
+    q2 = incremental_extract(spark, in_dir, None, out_dir, ckpt,
+                             parallelism=2)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{out_dir}/extracted").count() == 4

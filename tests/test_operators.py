@@ -1,0 +1,187 @@
+"""Operator-level tests: reference-derived invariants (FIXTURES.md §7)
+plus the training-data ops (dedup/similarity/multimodal/templates)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pydoxtools_spark.constants import PARAGRAPH_JOIN
+from pydoxtools_spark.fixtures import gen_corpus, gen_doc
+from pydoxtools_spark.operators import bag, dedup, multimodal, similarity, templates
+from pydoxtools_spark.operators.textstats import text_pieces
+from pydoxtools_spark.pipeline import extract
+from pydoxtools_spark.schemas import DOCUMENTS_IN, PDF_ELEMENT
+
+
+# ------------------------- reference invariants (test_extractor.py ports)
+
+
+def test_five_paragraph_text_yields_five_spans(spark):
+    """Analogue of elements shape (5, 26) for a 5-paragraph text doc
+    (reference tests/test_extractor.py:147)."""
+    text = PARAGRAPH_JOIN.join(f"paragraph number {i}" for i in range(5))
+    df = spark.createDataFrame(
+        [{"doc_id": "t5", "spans": [
+            {"kind": "text", "text": text, "media_ref": None, "offset": 0}]}],
+        schema=DOCUMENTS_IN)
+    out = extract(spark, df, None, parallelism=2).collect()[0]
+    assert [s["text"] for s in out["spans"]] == [
+        f"paragraph number {i}" for i in range(5)]
+
+
+@pytest.fixture(scope="module")
+def pdf_doc(spark):
+    """A doc with a multi-page pdf payload."""
+    for i in range(200):
+        doc, pdf_rows, exp = gen_doc(i)
+        pages = {r["p_num"] for r in pdf_rows}
+        if len(pages) >= 2 and len(doc["spans"]) == 1:
+            docs_df = spark.createDataFrame([doc], schema=DOCUMENTS_IN)
+            pdf_df = spark.createDataFrame(pdf_rows, schema=PDF_ELEMENT)
+            return docs_df, pdf_df, exp, sorted(pages)
+    pytest.skip("no multi-page single-pdf doc in first 200")
+
+
+def test_page_filtering(spark, pdf_doc):
+    """page_numbers=[p] restricts spans to that page (reference
+    tests/test_extractor.py:589-605 analogue)."""
+    docs_df, pdf_df, exp, pages = pdf_doc
+    full = extract(spark, docs_df, pdf_df, parallelism=2).collect()[0]
+    only_p0 = extract(spark, docs_df, pdf_df, parallelism=2,
+                      page_numbers=[pages[0]]).collect()[0]
+    assert 0 < len(only_p0["spans"]) < len(full["spans"])
+    max1 = extract(spark, docs_df, pdf_df, parallelism=2,
+                   max_pages=1).collect()[0]
+    assert [s["text"] for s in max1["spans"]] == [
+        s["text"] for s in only_p0["spans"]]
+
+
+def test_span_template_placeholders(spark):
+    """{Table_k}/{Image_k} placeholders for excluded kinds (reference
+    tests/test_extractor.py:668-674 analogue)."""
+    rows = [{"doc_id": "d", "spans": [
+        {"kind": "text", "text": "hello", "media_ref": None, "offset": 0},
+        {"kind": "table", "text": "a | b", "media_ref": None, "offset": 5},
+        {"kind": "image", "text": None, "media_ref": "media://img/1", "offset": 10},
+    ]}]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_IN)
+    out = templates.span_template(df).collect()[0]["template"]
+    assert out == "hello\n\n{Table_1}\n\n{Image_2}"
+
+
+def test_dispatch_same_payload_same_route(spark):
+    """Same content delivered in two docs routes identically
+    (reference tests/test_extractor.py:62-97 analogue)."""
+    from pydoxtools_spark.dispatch import doc_type_col
+    df = spark.createDataFrame(
+        [("a", "<html><body><p>x</p></body></html>"),
+         ("b", "<html><body><p>x</p></body></html>"),
+         ("c", '{"k": 1}'), ("d", "plain words only")],
+        ["id", "content"])
+    got = {r["id"]: r["t"] for r in df.select(
+        "id", doc_type_col(F.col("content")).alias("t")).collect()}
+    assert got["a"] == got["b"] == "text/html"
+    assert got["c"] == "application/json"
+    assert got["d"] == "text/plain"
+
+
+# ----------------------------------------------------- training-data ops
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"])
+    rows = {r["content_hash"]: r for r in dedup.exact_dedup(df).collect()}
+    assert len(rows) == 2
+    by_count = sorted(rows.values(), key=lambda r: -r["dup_count"])
+    assert by_count[0]["doc_id"] == 1 and by_count[0]["dup_count"] == 2
+
+
+def test_minhash_identical_docs_full_match(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different content here entirely")],
+        ["doc_id", "text"])
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.9, num_perm=16,
+                                      bands=4).collect()
+    assert len(pairs) == 1
+    assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+    assert pairs[0]["est_jaccard"] == 1.0
+
+
+def test_simhash_near_duplicates_close(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "nothing in common with any other writing sample")],
+        ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", dedup.simhash(F.col("text"), bits=64).alias("s")).collect()}
+    ham12 = sum(a != b for a, b in zip(sigs[1], sigs[2]))
+    ham13 = sum(a != b for a, b in zip(sigs[1], sigs[3]))
+    assert len(sigs[1]) == 64
+    assert ham12 < ham13
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(df, k=3, threshold=0.5,
+                                      max_df=100).collect()
+    assert len(pairs) == 1 and pairs[0]["jaccard"] == 1.0
+
+
+def test_brute_force_topk_finds_clone(spark):
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    rows.append((100, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))  # clone of 0
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 0)
+    top = similarity.brute_force_topk(df, q, k=1).collect()
+    assert top[0]["neighbor_id"] == 100
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-9
+
+
+def test_lsh_topk_bucket_recall(spark):
+    rows = [(i, [float((i >> j) & 1) * 2 - 1 for j in range(8)]) for i in range(20)]
+    rows.append((100, rows[5][1]))  # exact clone of vec 5
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id") == 5)
+    top = similarity.lsh_topk(df, q, k=1, n_planes=4, dim=8).collect()
+    # clone shares every LSH bucket -> must be found with cos ~ 1
+    assert top and top[0]["neighbor_id"] == 100
+
+
+def test_media_features_stub(spark):
+    rows = [
+        {"media_ref": "m1", "media_type": "image", "content": b"fakejpg",
+         "meta": {"n_frames": "0"}},
+        {"media_ref": "m2", "media_type": "image", "content": None,
+         "meta": None},
+        {"media_ref": "v1", "media_type": "video", "content": b"fakemp4",
+         "meta": {"n_frames": "90"}},
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA)
+    out = {r["media_ref"]: r for r in multimodal.media_features(df).collect()}
+    assert out["m1"]["width"] is not None and out["m1"]["height"] is not None
+    assert len(out["m1"]["feature"]) == multimodal.FEATURE_DIM
+    assert out["m2"]["width"] is None  # decode failure contained
+    frames = multimodal.frame_sample_plan(df, every_n=30).collect()
+    assert sorted(r["frame_idx"] for r in frames if r["media_ref"] == "v1") == [0, 30, 60]
+
+
+def test_text_pieces_bounded_and_ordered(spark):
+    text = " ".join(f"word{i:03d}" for i in range(300))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    pieces = sorted(text_pieces(df).collect(), key=lambda r: r["piece"])
+    assert all(len(p["piece_text"]) <= 512 for p in pieces)
+    assert " ".join(p["piece_text"] for p in pieces) == text
+
+
+def test_bag_ops(spark):
+    df = spark.createDataFrame([(1, [10, 20]), (2, [30])], ["doc_id", "xs"])
+    ex = bag.exploded(df, "xs").collect()
+    assert len(ex) == 3
+    st = bag.bag_stats(df.select("doc_id"), "doc_id").collect()[0]
+    assert st["n_docs"] == 2 and st["sum_doc_id"] == 3
