@@ -37,6 +37,7 @@ import pandas as pd
 
 from ..constants import (
     CELL_BORDER_TOLERANCE,
+    CELL_SORT_Y_WEIGHT,
     KIND_HEADER,
     KIND_IMAGE,
     KIND_TABLE,
@@ -124,21 +125,24 @@ def is_valid_table(grid: list[list[str]], n_cell_texts: int) -> bool:
     return filled * 2 >= total
 
 
-def _detect_tables_on_page(
-    g: pd.DataFrame, lines: pd.DataFrame
-) -> list[tuple[float, float, float, float, str]]:
-    """graphics + text lines of one page -> [(x0,y0,x1,y1, table_text)].
+def detect_table_areas(
+    gb: np.ndarray,
+) -> list[tuple[float, float, float, float, np.ndarray, np.ndarray]]:
+    """Graphics bboxes (n,4) of ONE page -> candidate table areas
+    [(x0,y0,x1,y1, row_borders asc-y, col_borders asc-x)].
 
-    Ruled-table path: cluster graphics into areas, infer the grid from
-    h/v line positions, assign text lines to cells by center point.
+    This is the ONLY numpy stage of the table pipeline (shared by the
+    single-process oracle and the Spark graphics kernel): graphics
+    filtering (extract_tables.py:893-949), single-linkage area
+    clustering via union-find (:1099-1174, cluster_utils.py:681-721),
+    area filters (:1177-1210), grid-border inference (cluster1D,
+    cluster_utils.py:727-733).  Cell-text assignment and validity are
+    relational and happen OUTSIDE (Spark SQL / oracle python).
     """
-    if g.empty:
+    if len(gb) == 0:
         return []
-    gb = g[["x0", "y0", "x1", "y1"]].to_numpy(float)
     w = gb[:, 2] - gb[:, 0]
     h = gb[:, 3] - gb[:, 1]
-    # filter: huge page-background graphics and tiny decorations
-    # (extract_tables.py:893-949)
     area_ratio = (np.abs(w) * np.abs(h)) / (PAGE_W * PAGE_H)
     keep = (area_ratio < MAX_GRAPHIC_PAGE_AREA_RATIO) & (
         np.maximum(np.abs(w), np.abs(h)) >= MIN_CELL_WIDTH
@@ -151,20 +155,15 @@ def _detect_tables_on_page(
         _pairwise_gap_distance(gb) <= TABLE_AREA_CLUSTER_THRESHOLD
     )
     out = []
-    lx = lines[["x0", "y0", "x1", "y1"]].to_numpy(float) if not lines.empty else np.zeros((0, 4))
-    ltxt = lines["rawtext"].tolist() if not lines.empty else []
-
     for lab in np.unique(labels):
         cb = gb[labels == lab]
         ax0, ay0 = cb[:, 0].min(), cb[:, 1].min()
         ax1, ay1 = cb[:, 2].max(), cb[:, 3].max()
         aw, ah = ax1 - ax0, ay1 - ay0
-        # area filters (extract_tables.py:1177-1210)
         if aw < MIN_TABLE_AREA_W or ah < MIN_TABLE_AREA_H:
             continue
         if aw / max(ah, 1e-9) > MAX_TABLE_ASPECT or ah / max(aw, 1e-9) > MAX_TABLE_ASPECT:
             continue
-        # grid lines: horizontal segments (h ~ 0), vertical segments (w ~ 0)
         ch = cb[:, 3] - cb[:, 1]
         cw = cb[:, 2] - cb[:, 0]
         hy = cb[(np.abs(ch) <= 2.0) & (cw > MIN_CELL_WIDTH), 1]
@@ -173,8 +172,29 @@ def _detect_tables_on_page(
         col_b = _cluster_1d(vx, CELL_BORDER_TOLERANCE)  # ascending x
         if len(row_b) < 2 or len(col_b) < 2:
             continue
+        out.append((float(ax0), float(ay0), float(ax1), float(ay1), row_b, col_b))
+    return out
+
+
+def _detect_tables_on_page(
+    g: pd.DataFrame, lines: pd.DataFrame
+) -> list[tuple[float, float, float, float, str]]:
+    """graphics + text lines of one page -> [(x0,y0,x1,y1, table_text)].
+    Oracle path: detect_table_areas + cell assignment, single-process.
+    Within-cell ordering: x0 - CELL_SORT_Y_WEIGHT*y0 ascending
+    (extract_tables.py:115-123)."""
+    if g.empty:
+        return []
+    areas = detect_table_areas(g[["x0", "y0", "x1", "y1"]].to_numpy(float))
+    if not areas:
+        return []
+    lx = lines[["x0", "y0", "x1", "y1"]].to_numpy(float) if not lines.empty else np.zeros((0, 4))
+    ltxt = lines["rawtext"].tolist() if not lines.empty else []
+
+    out = []
+    for ax0, ay0, ax1, ay1, row_b, col_b in areas:
         nrows, ncols = len(row_b) - 1, len(col_b) - 1
-        grid = [["" for _ in range(ncols)] for _ in range(nrows)]
+        cells: dict[tuple[int, int], list[tuple[float, str]]] = {}
         n_assigned = 0
         if len(lx):
             cx = (lx[:, 0] + lx[:, 2]) / 2.0
@@ -183,14 +203,15 @@ def _detect_tables_on_page(
             for i in np.nonzero(inside)[0]:
                 ci = int(np.searchsorted(col_b, cx[i]) - 1)
                 ri = int(np.searchsorted(row_b, cy[i]) - 1)
-                if 0 <= ci < ncols and 0 <= ri < nrows:
-                    # rows emitted top->bottom: row 0 = highest y band
+                if 0 <= ci < ncols and 0 <= ri < nrows and ltxt[i]:
                     r_top = nrows - 1 - ri
-                    cell = ltxt[i] or ""
-                    grid[r_top][ci] = (
-                        (grid[r_top][ci] + " " + cell).strip() if grid[r_top][ci] else cell
-                    )
+                    sk = float(lx[i, 0] - CELL_SORT_Y_WEIGHT * lx[i, 1])
+                    cells.setdefault((r_top, ci), []).append((sk, ltxt[i]))
                     n_assigned += 1
+        grid = [["" for _ in range(ncols)] for _ in range(nrows)]
+        for (r, c), entries in cells.items():
+            entries.sort()
+            grid[r][c] = " ".join(t for _sk, t in entries)
         if is_valid_table(grid, n_assigned):
             out.append((ax0, ay0, ax1, ay1, table_to_text(grid)))
     return out

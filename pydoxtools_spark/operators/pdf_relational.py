@@ -1,0 +1,287 @@
+"""Relational (Spark-first) PDF layout branch.
+
+The original all-Python kernel (functions/pdflayout.extract_pdf_spans,
+kept as the single-process oracle) spent ~18 ms of pandas overhead per
+34-row group — the classic UDF-in-the-hot-path anti-pattern.  Here the
+90% that is relational runs as whole-stage-codegen Spark SQL, and ONLY
+the geometric clustering of graphics (a per-page numpy kernel over ~10
+rows) stays in Python:
+
+  stage                          | engine | reference
+  -------------------------------|--------|----------------------------
+  text-box grouping (min/max/agg)| SQL    | extract_textstructure.py:99-158
+  title rule (median font join)  | SQL    | extract_textstructure.py:172-256
+  graphics -> table areas+borders| numpy  | extract_tables.py:893-1210
+  cell assignment (border search)| SQL    | extract_tables.py:400-553
+  grid render + validity         | SQL    | extract_tables.py:555-608,714-761
+  covered-text anti-join         | SQL    | extract_textstructure.py:368-372
+  reading order                  | SQL    | extract_textstructure.py:418
+
+Scale: every aggregate is map-side combinable; the graphics kernel
+sees only Graphic rows (a few per page); giant docs parallelize by
+page bucket; no stage holds more than a page of data in Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..constants import (
+    CELL_SORT_Y_WEIGHT,
+    KIND_HEADER,
+    KIND_IMAGE,
+    KIND_TABLE,
+    KIND_TEXT,
+    MIN_BOX_TEXT_CHARS,
+    TITLE_MAX_WORDS,
+    TITLE_SIZE_RATIO,
+    VERTICAL_ORIENTATION,
+)
+from ..functions.spantext import CELL_SEP, ROW_SEP
+
+AREA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("p_num", IntegerType(), False),
+        StructField("area_id", IntegerType(), False),
+        StructField("ax0", DoubleType(), False),
+        StructField("ay0", DoubleType(), False),
+        StructField("ax1", DoubleType(), False),
+        StructField("ay1", DoubleType(), False),
+        StructField("row_b", ArrayType(DoubleType()), False),
+        StructField("col_b", ArrayType(DoubleType()), False),
+    ]
+)
+
+# item rows joined back into the extraction pipeline:
+# (ref, p_num, y0, x0, kind, text, media_ref)
+ITEM = StructType(
+    [
+        StructField("ref", StringType(), False),
+        StructField("p_num", IntegerType(), False),
+        StructField("y0", DoubleType(), False),
+        StructField("x0", DoubleType(), False),
+        StructField("kind", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("media_ref", StringType(), True),
+    ]
+)
+
+
+def _graphics_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel over one (doc_id, page_bucket) group of
+    GRAPHIC rows only: numpy clustering -> candidate areas + borders."""
+    from ..functions.pdflayout import detect_table_areas
+
+    rows = []
+    doc_id = pdf["doc_id"].iloc[0]
+    for p, page in pdf.groupby("p_num"):
+        areas = detect_table_areas(page[["x0", "y0", "x1", "y1"]].to_numpy(float))
+        for aid, (ax0, ay0, ax1, ay1, row_b, col_b) in enumerate(areas):
+            rows.append(
+                (doc_id, int(p), aid, ax0, ay0, ax1, ay1,
+                 [float(v) for v in row_b], [float(v) for v in col_b])
+            )
+    return pd.DataFrame(rows, columns=[f.name for f in AREA.fields])
+
+
+def pdf_layout_items(pdf_elements: DataFrame,
+                     pages_per_bucket: int = 8) -> DataFrame:
+    """pdf_elements -> unordered item rows (ITEM schema).  The caller
+    (pipeline._pdf_branch) attaches reading-order sort keys."""
+    el = pdf_elements
+
+    # ---------------- text lines (vertical + empty excluded)
+    lines = el.filter(
+        (F.col("type") == "Text")
+        & F.col("rawtext").isNotNull()
+        & (F.length(F.trim("rawtext")) > 0)
+        & (F.coalesce(F.col("mean_char_orientation"), F.lit(0.0))
+           != VERTICAL_ORIENTATION)
+    ).select(
+        "doc_id", "p_num", "boxnum", "linenum", "x0", "y0", "x1", "y1",
+        "rawtext", "font_size",
+    )
+
+    # ---------------- title threshold: exact median per doc (JVM)
+    size_cuts = (
+        el.filter((F.col("type") == "Text") & F.col("font_size").isNotNull())
+        .groupBy("doc_id")
+        .agg((F.median("font_size") * F.lit(TITLE_SIZE_RATIO)).alias("size_cut"))
+    )
+
+    # ---------------- graphics kernel: page-local numpy, tiny groups
+    graphics = el.filter(F.col("type") == "Graphic").select(
+        "doc_id", "p_num", "x0", "y0", "x1", "y1",
+        (F.col("p_num") / pages_per_bucket).cast("int").alias("page_bucket"),
+    )
+    # areas is consumed three times (cell assignment, grid metadata,
+    # covered-box anti-join); persist so the python kernel runs once.
+    # Size is bounded: a few rows per page WITH a ruled table.
+    areas = graphics.groupBy("doc_id", "page_bucket").applyInPandas(
+        _graphics_kernel, AREA
+    ).persist()
+
+    # ---------------- cell assignment: equi-join on (doc, page) then
+    # containment filter; cell index by counting borders <= center
+    # (the relational form of np.searchsorted)
+    cx = (F.col("x0") + F.col("x1")) / 2.0
+    cy = (F.col("y0") + F.col("y1")) / 2.0
+    la = (
+        lines.join(areas, ["doc_id", "p_num"])
+        .withColumn("cx", cx)
+        .withColumn("cy", cy)
+        .filter(
+            (F.col("cx") >= F.col("ax0")) & (F.col("cx") <= F.col("ax1"))
+            & (F.col("cy") >= F.col("ay0")) & (F.col("cy") <= F.col("ay1"))
+        )
+        .withColumn("ncols", F.size("col_b") - 1)
+        .withColumn("nrows", F.size("row_b") - 1)
+        .withColumn(
+            "ci",
+            F.size(F.filter("col_b", lambda b: b <= F.col("cx"))) - 1,
+        )
+        .withColumn(
+            "ri",
+            F.size(F.filter("row_b", lambda b: b <= F.col("cy"))) - 1,
+        )
+        .filter(
+            (F.col("ci") >= 0) & (F.col("ci") < F.col("ncols"))
+            & (F.col("ri") >= 0) & (F.col("ri") < F.col("nrows"))
+        )
+        .withColumn("r_top", F.col("nrows") - 1 - F.col("ri"))
+    )
+
+    # within-cell ordering: x0 - 40*y0 ascending (extract_tables.py:115-123)
+    cell_sort_key = F.col("x0") - F.lit(CELL_SORT_Y_WEIGHT) * F.col("y0")
+    cells = (
+        la.groupBy("doc_id", "p_num", "area_id", "r_top", "ci")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(cell_sort_key.alias("sk"),
+                                                F.col("rawtext").alias("t")))
+                    ),
+                    lambda x: x["t"],
+                ),
+                " ",
+            ).alias("cell_txt")
+        )
+    )
+
+    # ---------------- grid render + validity, per area (pure SQL)
+    grids = (
+        cells.join(
+            areas.select("doc_id", "p_num", "area_id", "ax0", "ay0",
+                         (F.size("row_b") - 1).alias("nrows"),
+                         (F.size("col_b") - 1).alias("ncols")),
+            ["doc_id", "p_num", "area_id"],
+        )
+        .groupBy("doc_id", "p_num", "area_id", "ax0", "ay0", "nrows", "ncols")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list(F.col("r_top") * 10000 + F.col("ci")),
+                F.collect_list("cell_txt"),
+            ).alias("cellmap"),
+            F.count("*").alias("filled"),
+        )
+        .filter(F.col("filled") * 2 >= F.col("nrows") * F.col("ncols"))
+    ).persist()  # reused by table render AND valid-area anti-join
+    row_expr = (
+        "array_join(transform(sequence(0, ncols - 1), "
+        "c -> coalesce(element_at(cellmap, r * 10000 + c), '')), '{cell}')"
+    ).format(cell=CELL_SEP)
+    tbl_text = F.expr(
+        "array_join(transform(sequence(0, nrows - 1), r -> {row}), '{rs}')".format(
+            row=row_expr, rs="\\n"
+        )
+    )
+    tables = grids.select(
+        F.col("doc_id").alias("ref"),
+        "p_num",
+        F.col("ay0").alias("y0"),
+        F.col("ax0").alias("x0"),
+        F.lit(KIND_TABLE).alias("kind"),
+        tbl_text.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+
+    # valid areas (those that produced a table) for the covered-box
+    # anti-join
+    valid_areas = grids.select("doc_id", "p_num", "area_id").join(
+        areas, ["doc_id", "p_num", "area_id"]
+    ).select("doc_id", "p_num", "ax0", "ay0", "ax1", "ay1")
+
+    # ---------------- text boxes: hash-agg grouping, JVM only
+    boxes = (
+        lines.groupBy("doc_id", "p_num", "boxnum")
+        .agg(
+            F.min("x0").alias("x0"),
+            F.min("y0").alias("y0"),
+            F.max("x1").alias("x1"),
+            F.max("y1").alias("y1"),
+            F.max("font_size").alias("font_size"),
+            F.sum(F.size(F.split(F.trim("rawtext"), r"\s+"))).alias("words"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("linenum", F.col("rawtext").alias("t")))
+                    ),
+                    lambda x: x["t"],
+                ),
+                " ",
+            ).alias("btext"),
+        )
+        .filter(F.length("btext") >= MIN_BOX_TEXT_CHARS)
+    )
+    # covered-text anti-join (±1 tolerance, matching the oracle)
+    boxes = boxes.join(
+        valid_areas,
+        on=[
+            boxes.doc_id == valid_areas.doc_id,
+            boxes.p_num == valid_areas.p_num,
+            boxes.x0 >= valid_areas.ax0 - 1,
+            boxes.x1 <= valid_areas.ax1 + 1,
+            boxes.y0 >= valid_areas.ay0 - 1,
+            boxes.y1 <= valid_areas.ay1 + 1,
+        ],
+        how="left_anti",
+    )
+    box_items = boxes.join(size_cuts, "doc_id", "left").select(
+        F.col("doc_id").alias("ref"),
+        "p_num",
+        "y0",
+        "x0",
+        F.when(
+            F.col("size_cut").isNotNull()
+            & (F.col("font_size") >= F.col("size_cut"))
+            & (F.col("words") < TITLE_MAX_WORDS),
+            KIND_HEADER,
+        ).otherwise(KIND_TEXT).alias("kind"),
+        F.col("btext").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+
+    # ---------------- images: projection
+    image_items = el.filter(F.col("type") == "Image").select(
+        F.col("doc_id").alias("ref"),
+        "p_num",
+        "y0",
+        "x0",
+        F.lit(KIND_IMAGE).alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        "media_ref",
+    )
+
+    return tables.unionByName(box_items).unionByName(image_items)

@@ -53,7 +53,6 @@ from .constants import (
     KIND_IMAGE,
     KIND_TEXT,
     PARAGRAPH_SPLIT_REGEX,
-    TITLE_SIZE_RATIO,
 )
 
 PAGES_PER_BUCKET = 8
@@ -71,19 +70,6 @@ _OUT_SPAN = StructType(
         StructField("media_ref", StringType(), True),
     ]
 )
-
-_PDF_ITEM = StructType(
-    [
-        StructField("ref", StringType(), False),
-        StructField("p_num", IntegerType(), False),
-        StructField("y0", DoubleType(), False),
-        StructField("x0", DoubleType(), False),
-        StructField("kind", StringType(), False),
-        StructField("text", StringType(), True),
-        StructField("media_ref", StringType(), True),
-    ]
-)
-
 
 def explode_input_spans(documents_in: DataFrame) -> DataFrame:
     return documents_in.select(
@@ -147,49 +133,19 @@ def _html_branch(spans: DataFrame, parallelism: int) -> DataFrame:
     html = spans.filter(F.col("in_kind") == IN_KIND_HTML).select(
         "doc_id", "span_idx", "in_text"
     )
-    # hash repartition spreads giant docs' spans evenly (skew defusal)
-    html = html.repartition(parallelism, "doc_id", "span_idx")
     return html.mapInPandas(_html_kernel, _OUT_SPAN)
 
 
-def _pdf_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel over one (doc, page_bucket) group."""
-    from .functions.pdflayout import extract_pdf_items
-
-    cols = ["ref", "p_num", "y0", "x0", "kind", "text", "media_ref"]
-    if pdf.empty:
-        return pd.DataFrame(columns=cols)
-    ref = pdf["doc_id"].iloc[0]
-    size_cut = float(pdf["size_cut"].iloc[0])
-    try:
-        items = extract_pdf_items(pdf, size_cut)
-        rows = [(ref, p, y, x, k, t, r) for p, y, x, k, t, r in items]
-    except Exception as e:
-        rows = [(ref, 0, 0.0, 0.0, KIND_ERROR,
-                 f"pdf_parse_error: {type(e).__name__}: {e}", None)]
-    return pd.DataFrame(rows, columns=cols)
-
-
 def _pdf_branch(spans: DataFrame, pdf_elements: DataFrame) -> DataFrame:
+    """PDF layout branch: relational implementation (pure Spark SQL for
+    grouping/cells/ordering; numpy only for page-local graphics
+    clustering) — see operators/pdf_relational.py."""
+    from .operators.pdf_relational import pdf_layout_items
+
     refs = spans.filter(F.col("in_kind") == IN_KIND_PDF_REF).select(
         "doc_id", "span_idx", "in_ref"
     )
-    # doc-level title threshold: JVM-side exact median (same value the
-    # oracle computes with np.median), keeps the layout kernel page-local
-    size_cuts = (
-        pdf_elements.filter(
-            (F.col("type") == "Text") & F.col("font_size").isNotNull()
-        )
-        .groupBy("doc_id")
-        .agg((F.median("font_size") * F.lit(TITLE_SIZE_RATIO)).alias("size_cut"))
-    )
-    el = pdf_elements.withColumn(
-        "page_bucket", (F.col("p_num") / F.lit(PAGES_PER_BUCKET)).cast("int")
-    ).join(size_cuts, "doc_id", "left").fillna({"size_cut": float("inf")})
-
-    items = el.groupBy("doc_id", "page_bucket").applyInPandas(
-        _pdf_kernel, _PDF_ITEM
-    )
+    items = pdf_layout_items(pdf_elements, pages_per_bucket=PAGES_PER_BUCKET)
 
     return refs.join(items, refs.in_ref == items.ref).select(
         "doc_id",
@@ -243,7 +199,14 @@ def extract(
     if max_pages is not None:
         pdf_elements = pdf_elements.filter(F.col("p_num") < max_pages)
 
-    spans = explode_input_spans(documents_in)
+    # ONE scan+explode+exchange serves all four branches: the explicit
+    # repartition here (a) spreads giant docs' spans evenly (skew
+    # defusal) and (b) makes the four branch subtrees share an identical
+    # Exchange so Catalyst's ReuseExchange rule reads the corpus ONCE
+    # instead of once per branch — measured 4x less scan work.
+    spans = explode_input_spans(documents_in).repartition(
+        parallelism, "doc_id", "span_idx"
+    )
     out = (
         _text_branch(spans)
         .unionByName(_html_branch(spans, parallelism))
