@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pydoxtools_spark import dispatch  # noqa: E402
-from pydoxtools_spark.operators import bag, dedup, similarity, textstats  # noqa: E402
+from pydoxtools_spark.operators import (  # noqa: E402
+    bag,
+    dedup,
+    similarity,
+    textops,
+    textstats,
+)
 from pydoxtools_spark.pipeline import extract  # noqa: E402
 from pydoxtools_spark.schemas import DOCUMENTS_IN  # noqa: E402
 
@@ -129,7 +135,32 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.num_words(F.col("text")).alias("n_words"),
         textstats.num_tokens(F.col("text")).alias("n_tokens"),
         textstats.num_pages_text(F.col("text")).alias("n_pages"),
+        textops.num_sents(F.col("text")).alias("n_sents"),
     )
+
+
+def q_full_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction + full_text reassembly (reference document.py:227-229)."""
+    docs_in = _as_documents_in(_docs(spark, sf_dir), _html_payload_col(), "html")
+    extracted = extract(spark, docs_in, None, parallelism=8)
+    return textops.full_text(extracted).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "full_text"
+    )
+
+
+def q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SectionsExtractor over a synthesized elements table."""
+    d = _docs(spark, sf_dir)
+    el = d.select(
+        "doc_id", F.lit(0).alias("boxnum"),
+        F.substring("text", 1, 30).alias("rawtext"),
+        F.array(F.lit("intro"), F.lit("all")).alias("sections"),
+    ).unionByName(d.select(
+        "doc_id", F.lit(1).alias("boxnum"),
+        F.concat(F.lit("part two "), F.col("doc_id").cast("string")).alias("rawtext"),
+        F.array(F.lit("all")).alias("sections"),
+    ))
+    return textops.sections_extract(el)
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk": q_ann_topk,
         "knn_graph": q_knn_graph,
+        "full_text": q_full_text,
+        "sections": q_sections,
         "exploded_words": q_exploded_words,
         "bag_stats": q_bag_stats,
         "events_rollup": q_events_rollup,
@@ -342,8 +375,29 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id,
       len(regexp_extract_all(trim(text), '\S+')) AS n_words,
       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens,
-      CAST(1 + floor(length(text) / 1000) AS INT) AS n_pages
+      CAST(1 + floor(length(text) / 1000) AS INT) AS n_pages,
+      greatest(len(regexp_extract_all(text, '[.!?]+(\s|$)')), 1) AS n_sents
     FROM documents
+    """
+    full_text_oracle = """
+    SELECT doc_id,
+           'Doc ' || doc_id || chr(10) || chr(10)
+             || regexp_replace(trim(text), '\s+', ' ', 'g') AS full_text
+    FROM documents
+    """
+    sections_oracle = """
+    WITH el AS (
+      SELECT doc_id, 0 AS boxnum, substring(text, 1, 30) AS rawtext,
+             ['intro', 'all'] AS sections FROM documents
+      UNION ALL
+      SELECT doc_id, 1, 'part two ' || doc_id, ['all'] FROM documents
+    ), ex AS (
+      SELECT doc_id, boxnum, rawtext, unnest(sections) AS section FROM el
+    )
+    SELECT doc_id, section,
+           string_agg(rawtext, chr(10) || chr(10) ORDER BY boxnum) AS section_text,
+           min(boxnum) AS first_box
+    FROM ex GROUP BY doc_id, section
     """
     lang_oracle = (
         "SELECT doc_id, " + textstats.lang_id_sql("text") + " AS lang_pred FROM documents"
@@ -459,6 +513,8 @@ def oracle_sql() -> dict[str, str]:
         # (LSH banding + bit-twiddling SQL twins are deliberately omitted
         # in round 1; the signature/fingerprint primitives they compose
         # are oracle-checked above)
+        "full_text": full_text_oracle,
+        "sections": sections_oracle,
         "ann_topk": ann_oracle,
         "knn_graph": knn_oracle,
         "exploded_words": words_oracle,

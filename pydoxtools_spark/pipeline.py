@@ -199,11 +199,15 @@ def extract(
     if max_pages is not None:
         pdf_elements = pdf_elements.filter(F.col("p_num") < max_pages)
 
-    # ONE scan+explode+exchange serves all four branches: the explicit
-    # repartition here (a) spreads giant docs' spans evenly (skew
-    # defusal) and (b) makes the four branch subtrees share an identical
-    # Exchange so Catalyst's ReuseExchange rule reads the corpus ONCE
-    # instead of once per branch — measured 4x less scan work.
+    # Explode + hash-repartition up front: spreads giant docs' spans
+    # evenly across tasks (skew defusal — the corpus writer clusters
+    # giants within files, so file-split partitioning straggles).
+    # Known trade-off (measured, acceptable): branch kind-filters get
+    # pushed below this exchange, so the branches keep separate scans
+    # (ReuseExchange needs identical subtrees), and Spark 4.1's nested
+    # schema pruning does not prune span.text through posexplode.  At
+    # 100 TB the mitigation is an explicit schema-subset read for the
+    # ref-only branches (Iceberg column projection), not a plan change.
     spans = explode_input_spans(documents_in).repartition(
         parallelism, "doc_id", "span_idx"
     )
