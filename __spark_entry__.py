@@ -187,6 +187,17 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.array_join(sig, "|").alias("minhash_sig"))
 
 
+def q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universal-hash minhash signatures (production path)."""
+    d = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures_fast(d, num_perm=16)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.array_join(F.transform("sig", lambda v: v.cast("string")), "|").alias(
+            "minhash_sig"),
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     # plant near-duplicates: same text with a short suffix
@@ -318,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
+        "minhash_fast": q_minhash_fast,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -434,6 +446,61 @@ def oracle_sql() -> dict[str, str]:
         'string_agg', '|') AS minhash_sig
     FROM sh
     """
+    from pydoxtools_spark.operators.dedup import _MH_P, _mh_params
+
+    params16 = _mh_params(16)
+    mins = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {_MH_P}), 'min')"
+        for a, b in params16
+    )
+    minhash_fast_oracle = f"""
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        [('0x' || substr(md5(t[i:i+4]), 1, 8))::BIGINT
+         FOR i IN range(1, greatest(length(t)-4, 1) + 1)] AS hs
+      FROM d
+    )
+    SELECT doc_id,
+      array_to_string([{mins}], '|') AS minhash_sig
+    FROM sh
+    """
+    # LSH pairs oracle: same signatures over base+planted-near-dup corpus,
+    # band join (4 bands x 4 rows), est_jaccard = matching positions / 16
+    lsh_oracle = f"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text || ' suffix' FROM documents
+    ), d AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM u
+    ), sh AS (
+      SELECT doc_id,
+        [('0x' || substr(md5(t[i:i+4]), 1, 8))::BIGINT
+         FOR i IN range(1, greatest(length(t)-4, 1) + 1)] AS hs
+      FROM d
+    ), sigs AS (
+      SELECT doc_id, [{mins}] AS sig FROM sh
+    ), banded AS (
+      SELECT doc_id, b,
+             md5(array_to_string(sig[b*4+1 : b*4+4], '|')) AS band_sig, sig
+      FROM sigs, unnest([0,1,2,3]) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a JOIN banded b
+        ON a.b = b.b AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+      round(list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
+                      FOR i IN range(1, 17)]) / 16.0, 4) AS est_jaccard
+    FROM cand
+    WHERE list_sum([CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END
+                    FOR i IN range(1, 17)]) / 16.0 >= 0.5
+    """
     ann_oracle = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
@@ -509,10 +576,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": fp_oracle,
         "exact_dedup": exact_dedup_oracle,
         "minhash_signature": minhash_oracle,
-        # minhash_lsh_pairs / simhash / ngram_jaccard_pairs: rows-only
-        # (LSH banding + bit-twiddling SQL twins are deliberately omitted
-        # in round 1; the signature/fingerprint primitives they compose
+        # simhash / ngram_jaccard_pairs: rows-only (bit-twiddling and
+        # inverted-index SQL twins omitted; the primitives they compose
         # are oracle-checked above)
+        "minhash_fast": minhash_fast_oracle,
+        "minhash_lsh_pairs": lsh_oracle,
         "full_text": full_text_oracle,
         "sections": sections_oracle,
         "ann_topk": ann_oracle,

@@ -115,27 +115,77 @@ def scaling_evidence(n_docs: int | None = None, lo=4, hi=16,
     - shuffle partitions are FIXED (64) at both core counts, like a
       real cluster where partitioning doesn't change with executor
       count; only the number of concurrent slots differs;
-    - runs are COLD (fresh session, no warm-up): a warm-up run would
-      populate Spark's CacheManager (plan-matched InMemoryRelations)
-      and silently skip most of the work in the timed run;
+    - each point runs in its OWN subprocess (py4j keeps one JVM per
+      python process, so in-process sequencing hands the second point
+      a JIT-warm JVM — measured ~25% bias) with an identical
+      tiny-corpus JIT warm-up + page-cache prewarm;
+    - the timed run is cache-cold for the big corpus: a same-corpus
+      warm-up would populate Spark's CacheManager (plan-matched
+      InMemoryRelations) and silently skip work in the timed run;
     - lo=4/hi=16 rather than 8/32 because local[32] saturates the
       32-core sandbox host (32 python workers + JVM shuffle threads
       oversubscribe physical cores), which would measure hardware
       contention, not the job's scaling behavior."""
-    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_BENCH_NDOCS", "144000"))
+    n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_BENCH_NDOCS", "192000"))
     corpus_dir = _bench_corpus(n_docs)
     out = {}
     for cores in (lo, hi):
-        spark = get_spark(f"bench-scale-{cores}", cores=cores,
-                          shuffle_partitions=shuffle)
-        out[cores] = _run_pipeline(spark, corpus_dir, shuffle, "/tmp/px_bench_out")
-        spark.stop()
+        out[cores] = _scale_point_subprocess(cores, shuffle, corpus_dir)
     eff = (out[lo]["sec"] / out[hi]["sec"]) / (hi / lo)
     return {"cores_lo": lo, "t_lo_sec": out[lo]["sec"],
             "cores_hi": hi, "t_hi_sec": out[hi]["sec"],
             "docs": out[hi]["docs"],
             "docs_per_sec_hi": out[hi]["docs_per_sec"],
             "efficiency": round(eff, 3)}
+
+
+def _scale_point_subprocess(cores: int, shuffle: int, corpus_dir: str) -> dict:
+    """Run one scaling point in a FRESH subprocess so both points get an
+    identical environment: py4j keeps one JVM per python process, so
+    running both points in-process hands the second a JIT-warm JVM
+    (measured ~25% bias)."""
+    import json as _json
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable, os.path.abspath(__file__), "--scale-point",
+         str(cores), str(shuffle), corpus_dir],
+        capture_output=True, text=True, timeout=1800,
+    )
+    line = r.stdout.strip().splitlines()[-1]
+    return _json.loads(line)
+
+
+def run_scale_point(cores: int, shuffle: int, corpus_dir: str) -> dict:
+    """One scaling point: fresh session, tiny-corpus JIT warm-up (does
+    not touch the big corpus or its cache entries), page-cache prewarm,
+    then ONE timed cold run of the full pipeline."""
+    import json as _json
+
+    tiny = "/tmp/px_scale_warm_corpus"
+    if not os.path.exists(f"{tiny}/documents_in.parquet/_SUCCESS"):
+        spark = get_spark("warmgen", cores=cores, shuffle_partitions=8)
+        from pydoxtools_spark.fixtures import write_corpus
+
+        write_corpus(spark, tiny, n_docs=200, partitions=8)
+        spark.stop()
+
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+    spark = get_spark(f"scale-{cores}", cores=cores, shuffle_partitions=shuffle,
+                      extra_conf={"spark.driver.extraJavaOptions":
+                                  "-XX:+UseG1GC -XX:G1HeapRegionSize=32m"})
+    _run_pipeline(spark, tiny, 8, "/tmp/px_scale_warm_out")  # JIT warm-up
+    os.sync()
+    for root, _d, files in os.walk(corpus_dir):  # fault corpus into page cache
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+    res = _run_pipeline(spark, corpus_dir, shuffle, "/tmp/px_bench_out")
+    spark.stop()
+    print(_json.dumps(res))
+    return res
 
 
 def main():
@@ -167,4 +217,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-point":
+        run_scale_point(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    else:
+        main()

@@ -1,0 +1,46 @@
+"""spark-submit entry point for the extraction pipeline.
+
+    spark-submit --py-files pydoxtools_spark.zip jobs/extract_job.py \
+        --input  /path/documents_in.parquet \
+        --pdf-elements /path/pdf_elements.parquet \
+        --output /path/out --run-id r42 --parallelism 512
+
+On a cluster the session comes from spark-submit's conf (master,
+executors); get-or-create here only fills local defaults.  The run is
+resumable: re-submitting after a failure anti-joins committed doc_ids
+(pipeline.run_resumable) — the output snapshot IS the checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--pdf-elements", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--parallelism", type=int, default=256)
+    ap.add_argument("--max-pages", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from pydoxtools_spark.pipeline import run_resumable
+
+    spark = SparkSession.builder.appName("pydoxtools-extract").getOrCreate()
+    docs = spark.read.parquet(args.input)
+    pdf = spark.read.parquet(args.pdf_elements) if args.pdf_elements else None
+    result = run_resumable(
+        spark, docs, pdf, args.output,
+        run_id=args.run_id, parallelism=args.parallelism,
+    )
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -10,9 +10,10 @@ fixed-width hex strings compare lexicographically == numerically, so
 Scale notes (100 TB):
   - exact dedup: one hash aggregate on a 32-hex key — the classic
     map-side-combinable groupBy; no skew (md5 keys uniform).
-  - minhash signatures: computed per-row with transform/aggregate over
-    the shingle array — ZERO shuffle; only the tiny (doc_id, band,
-    band_sig) table shuffles for the LSH bucket join.
+  - minhash signatures: one md5 per shingle through a Generate
+    boundary, then num_perm affine permutations as map-side-combinable
+    MIN aggregates — the only shuffle carries (id, num_perm longs) per
+    doc; the LSH bucket join shuffles just (id, band, band_sig).
   - LSH bucket join: self-join on (band, band_sig); bucket sizes are
     bounded because identical band signatures imply near-duplicate
     docs; AQE skew-join splits pathological buckets.

@@ -99,7 +99,17 @@ def pdf_layout_items(pdf_elements: DataFrame,
                      pages_per_bucket: int = 8) -> DataFrame:
     """pdf_elements -> unordered item rows (ITEM schema).  The caller
     (pipeline._pdf_branch) attaches reading-order sort keys."""
-    el = pdf_elements
+    from pyspark import StorageLevel
+
+    # five consumers below (text lines x2, graphics, size_cuts, images)
+    # would each rescan the parquet source; one narrow projection is
+    # persisted instead — five low-utilization scan stages collapse
+    # into one (MEMORY_AND_DISK: spills, never fails, per-job lifetime)
+    el = pdf_elements.select(
+        "doc_id", "p_num", "boxnum", "linenum", "type", "x0", "y0",
+        "x1", "y1", "rawtext", "font_size", "mean_char_orientation",
+        "media_ref",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---------------- text lines (vertical + empty excluded)
     lines = el.filter(
@@ -245,16 +255,20 @@ def pdf_layout_items(pdf_elements: DataFrame,
         )
         .filter(F.length("btext") >= MIN_BOX_TEXT_CHARS)
     )
-    # covered-text anti-join (±1 tolerance, matching the oracle)
+    # covered-text anti-join (±1 tolerance, matching the oracle);
+    # explicit renames keep the equi-keys unambiguous for the analyzer
+    va = valid_areas.select(
+        F.col("doc_id").alias("va_doc_id"), F.col("p_num").alias("va_p_num"),
+        "ax0", "ay0", "ax1", "ay1")
     boxes = boxes.join(
-        valid_areas,
+        va,
         on=[
-            boxes.doc_id == valid_areas.doc_id,
-            boxes.p_num == valid_areas.p_num,
-            boxes.x0 >= valid_areas.ax0 - 1,
-            boxes.x1 <= valid_areas.ax1 + 1,
-            boxes.y0 >= valid_areas.ay0 - 1,
-            boxes.y1 <= valid_areas.ay1 + 1,
+            boxes.doc_id == va.va_doc_id,
+            boxes.p_num == va.va_p_num,
+            boxes.x0 >= va.ax0 - 1,
+            boxes.x1 <= va.ax1 + 1,
+            boxes.y0 >= va.ay0 - 1,
+            boxes.y1 <= va.ay1 + 1,
         ],
         how="left_anti",
     )

@@ -76,3 +76,30 @@ def test_offsets_are_running_char_positions(spark, corpus):
         for s in r["spans"]:
             assert s["offset"] == off
             off += len(s["text"] or "")
+
+
+def test_resume_from_partial_commit(spark, corpus, tmp_path):
+    """Kill-after-partial-commit then rerun == single run (north rule
+    resumability; the output snapshot is the checkpoint)."""
+    from pydoxtools_spark.pipeline import run_resumable
+
+    docs_df, pdf_df, exp = corpus
+    out = str(tmp_path / "resume_out")
+    half = docs_df.limit(N_DOCS // 2)
+    r1 = run_resumable(spark, half, pdf_df, out, parallelism=4)
+    assert r1["docs_processed"] == N_DOCS // 2
+    r2 = run_resumable(spark, docs_df, pdf_df, out, parallelism=4)
+    assert r2["docs_processed"] == N_DOCS - N_DOCS // 2
+    got = spark.read.parquet(f"{out}/extracted")
+    assert got.count() == N_DOCS
+    assert got.select("doc_id").distinct().count() == N_DOCS
+    g = _spans_tuples([r.asDict(recursive=True) for r in got.collect()])
+    w = _spans_tuples(exp)
+    assert all(g[d] == w[d] for d in w)
+    # third run: nothing to do
+    r3 = run_resumable(spark, docs_df, pdf_df, out, parallelism=4)
+    assert r3["docs_processed"] == 0
+    # metrics rows exist with lineage
+    m = spark.read.parquet(f"{out}/metrics")
+    assert m.count() >= 2
+    assert m.filter("docs_processed > 0").count() >= 2
