@@ -252,6 +252,21 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets + exact verify;
+    clones planted so recall-1 pairs exist."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    clones = e.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    pairs = similarity.embedding_neardup_pairs(
+        e.unionByName(clones), threshold=0.95, n_planes=8, dim=64
+    )
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 def q_exploded_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return (
@@ -335,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk": q_ann_topk,
         "knn_graph": q_knn_graph,
+        "embedding_neardup": q_embedding_neardup,
         "full_text": q_full_text,
         "sections": q_sections,
         "exploded_words": q_exploded_words,
@@ -534,6 +550,29 @@ def oracle_sql() -> dict[str, str]:
       FROM scored)
     SELECT src, dst, rank FROM ranked WHERE rank <= 2 AND 1.0 - cs <= 0.1
     """
+    from pydoxtools_spark.operators.similarity import random_planes
+
+    planes = random_planes(64, 8)
+    bucket_expr = " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    neardup_oracle = f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (
+      SELECT * FROM e0
+      UNION ALL
+      SELECT vec_id + 10000000, v FROM e0 WHERE vec_id < 40
+    ),
+    bucketed AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    """
     words_oracle = r"""
     SELECT word, count(*) AS cnt FROM (
       SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
@@ -585,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "sections": sections_oracle,
         "ann_topk": ann_oracle,
         "knn_graph": knn_oracle,
+        "embedding_neardup": neardup_oracle,
         "exploded_words": words_oracle,
         "bag_stats": stats_oracle,
         "events_rollup": events_oracle,

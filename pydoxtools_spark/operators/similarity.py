@@ -151,3 +151,44 @@ def knn_graph(corpus: DataFrame, k: int = 4, max_dist: float = 0.2,
         (1.0 - F.col("cos_sim")).alias("dist"),
         "rank",
     ).filter(F.col("dist") <= max_dist)
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from matching
+    random-hyperplane LSH buckets (identical vectors always share every
+    bucket, so exact dups have recall 1), verified by exact cosine.
+    Returns (id_a, id_b, cos_sim) with id_a < id_b.
+
+    The O(n^2) brute-force comparison collapses to within-bucket pairs:
+    with b sign bits, random pairs collide with prob ~2^-b while
+    near-identical vectors collide with prob ~1 — the standard
+    embedding-dedup shape for a 10^12-row corpus (bucket join + AQE
+    skew splitting; add band rotations for higher recall at lower
+    thresholds)."""
+    planes = random_planes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    )
+    return (
+        cand.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
