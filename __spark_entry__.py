@@ -163,6 +163,16 @@ def q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.sections_extract(el)
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality scoring (rows-only: the float mix is not
+    bit-stable across engines; components are oracle-checked via
+    token_stats / lang_id)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.round(textstats.quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
@@ -341,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_type_dispatch": q_doc_type_dispatch,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,

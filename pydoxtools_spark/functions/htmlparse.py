@@ -264,3 +264,28 @@ def extract_title(raw_html: str) -> str | None:
                 return t or None
             stack.extend(c for c in n.children if isinstance(c, _Node))
     return None
+
+
+def extract_jsonld(raw_html: str) -> list[str]:
+    """schema.org metadata: contents of <script type="application/ld+json">
+    blocks, validated as JSON — the reference's extruct json-ld path
+    (extract_html.py:186-190) without the extruct dependency.  Returns
+    the raw JSON strings (typed parsing is the caller's concern)."""
+    import json as _json
+
+    root = parse_html(raw_html)
+    out: list[str] = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, _Node):
+            if (n.tag == "script"
+                    and n.attrs.get("type", "").lower() == "application/ld+json"):
+                payload = _subtree_text(n).strip()
+                try:
+                    _json.loads(payload)
+                    out.append(payload)
+                except ValueError:
+                    pass
+            stack.extend(c for c in reversed(n.children) if isinstance(c, _Node))
+    return out

@@ -185,3 +185,13 @@ def test_bag_ops(spark):
     assert len(ex) == 3
     st = bag.bag_stats(df.select("doc_id"), "doc_id").collect()[0]
     assert st["n_docs"] == 2 and st["sum_doc_id"] == 3
+
+
+def test_jsonld_extraction(spark):
+    from pydoxtools_spark.functions.htmlparse import extract_jsonld
+    html = ('<html><head><script type="application/ld+json">'
+            '{"@type": "Article", "name": "x"}</script>'
+            '<script type="application/ld+json">not json</script>'
+            '<script>var x = 1;</script></head><body><p>t</p></body></html>')
+    out = extract_jsonld(html)
+    assert len(out) == 1 and '"@type"' in out[0]
