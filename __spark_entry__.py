@@ -262,6 +262,20 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dedup groups over a constructed chain graph
+    (doc -> clone -> clone-of-clone): component = base doc_id."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 10_000_000).alias("id_b"),
+    ).unionByName(d.select(
+        (F.col("doc_id") + 10_000_000).alias("id_a"),
+        (F.col("doc_id") + 20_000_000).alias("id_b"),
+    ))
+    return dedup.connected_components(pairs)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH buckets + exact verify;
     clones planted so recall-1 pairs exist."""
@@ -362,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "knn_graph": q_knn_graph,
         "embedding_neardup": q_embedding_neardup,
+        "dedup_groups": q_dedup_groups,
         "full_text": q_full_text,
         "sections": q_sections,
         "exploded_words": q_exploded_words,
@@ -636,6 +651,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ann_oracle,
         "knn_graph": knn_oracle,
         "embedding_neardup": neardup_oracle,
+        "dedup_groups": """
+    SELECT doc_id AS id, doc_id AS component FROM documents
+    UNION ALL SELECT doc_id + 10000000, doc_id FROM documents
+    UNION ALL SELECT doc_id + 20000000, doc_id FROM documents
+    """,
         "exploded_words": words_oracle,
         "bag_stats": stats_oracle,
         "events_rollup": events_oracle,

@@ -394,3 +394,72 @@ def ngram_jaccard_pairs(
         )
     )
     return j.filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------ dedup groups
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Near-duplicate pairs -> canonical groups via iterative min-label
+    propagation (alternating large-star/small-star style): each node
+    adopts the smallest id reachable through its edges; converges in
+    O(log diameter) rounds.  Returns (id, component) where component =
+    min id of the group.
+
+    Scale notes: each round is one shuffle on the edge list; dedup
+    graphs are unions of near-cliques (tiny diameter), so 2-3 rounds
+    converge in practice.  localCheckpoint per round truncates the
+    lineage (iterative plans otherwise grow exponentially).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # each node proposes its current component to its neighbors
+        prop = (
+            edges.join(labels, edges.a == labels.id)
+            .select(F.col("b").alias("id"), "component")
+            .groupBy("id")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("n_comp", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Drop near-duplicates: keep only the minimum-id member of each
+    connected component (plus all docs with no near-dup edges)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")

@@ -195,3 +195,18 @@ def test_jsonld_extraction(spark):
             '<script>var x = 1;</script></head><body><p>t</p></body></html>')
     out = extract_jsonld(html)
     assert len(out) == 1 and '"@type"' in out[0]
+
+
+def test_connected_components_and_canonical_dedup(spark):
+    # two chains: 1-2-3 and 7-8; singleton 9 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 7, 8, 9)], ["doc_id", "text"])
+    kept = sorted(r["doc_id"]
+                  for r in dedup.dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [1, 7, 9]
