@@ -31,8 +31,28 @@ from pydoxtools_spark.schemas import DOCUMENTS_IN  # noqa: E402
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ensure_pkg(spark: SparkSession) -> None:
+    """Make pydoxtools_spark importable on python workers even when the
+    caller (the driver harness) built its own SparkSession without our
+    session factory: ship the package zip via addPyFile once per
+    session.  Harmless if the path is already importable."""
+    key = id(spark)
+    if key in _PKG_SHIPPED:
+        return
+    try:
+        from pydoxtools_spark.deploy import make_pyfiles_zip
+
+        spark.sparkContext.addPyFile(make_pyfiles_zip())
+    except Exception:
+        pass  # zip/shipping failure -> rely on PYTHONPATH/cwd
+    _PKG_SHIPPED.add(key)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_pkg(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -77,6 +97,7 @@ def _as_documents_in(df: DataFrame, payload: F.Column, kind: str) -> DataFrame:
 
 
 def _exploded_spans(spark: SparkSession, docs_in: DataFrame) -> DataFrame:
+    _ensure_pkg(spark)
     out = extract(spark, docs_in, None, parallelism=8)
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
