@@ -28,6 +28,7 @@ KIND_TABLE = "table"
 KIND_IMAGE = "image"
 KIND_MEDIA = "media"
 KIND_ERROR = "error"
+KIND_SENTINEL = "__sentinel"  # internal marker, never in output
 
 # Input span kinds (interleaved corpus, BASELINE.json input_hint).
 IN_KIND_HTML = "html"

@@ -51,6 +51,7 @@ from .constants import (
     IN_KIND_TEXT,
     KIND_ERROR,
     KIND_IMAGE,
+    KIND_SENTINEL,
     KIND_TEXT,
     PARAGRAPH_SPLIT_REGEX,
 )
@@ -159,6 +160,24 @@ def _pdf_branch(spans: DataFrame, pdf_elements: DataFrame) -> DataFrame:
     )
 
 
+def _sentinel_branch(documents_in: DataFrame) -> DataFrame:
+    """One marker row per document so docs whose spans produce no
+    output still appear (empty array) WITHOUT a final join: sentinels
+    flow through the same doc_id-partitioned window/groupBy, then get
+    filtered out of the span array.  Replaces an all-docs sort-merge
+    join (one scan + one shuffle + two stages cheaper)."""
+    return documents_in.select(
+        "doc_id",
+        F.lit(-1).alias("span_idx"),
+        F.lit(0.0).alias("ord1"),
+        F.lit(0.0).alias("ord2"),
+        F.lit(0.0).alias("ord3"),
+        F.lit(KIND_SENTINEL).alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+
+
 def _image_branch(spans: DataFrame) -> DataFrame:
     return spans.filter(F.col("in_kind") == IN_KIND_IMAGE_REF).select(
         "doc_id",
@@ -216,6 +235,7 @@ def extract(
         .unionByName(_html_branch(spans, parallelism))
         .unionByName(_pdf_branch(spans, pdf_elements))
         .unionByName(_image_branch(spans))
+        .unionByName(_sentinel_branch(documents_in))
     )
 
     # running char offset over the doc's reading-ordered span stream;
@@ -226,9 +246,9 @@ def extract(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    text_len = F.when(F.col("kind") == KIND_ERROR, F.lit(0)).otherwise(
-        F.length(F.coalesce(F.col("text"), F.lit("")))
-    )
+    text_len = F.when(
+        F.col("kind").isin(KIND_ERROR, KIND_SENTINEL), F.lit(0)
+    ).otherwise(F.length(F.coalesce(F.col("text"), F.lit(""))))
     out = out.withColumn("offset", F.coalesce(F.sum(text_len).over(w), F.lit(0)).cast("int"))
 
     assembled = out.groupBy("doc_id").agg(
@@ -240,23 +260,12 @@ def extract(
         ).alias("ordered"),
         F.max(F.when(F.col("kind") == KIND_ERROR, F.col("text"))).alias("error"),
     )
-    assembled = assembled.select(
+    return assembled.select(
         "doc_id",
         F.expr(
-            "transform(filter(ordered, x -> x.kind != 'error'),"
+            "transform(filter(ordered, x -> x.kind NOT IN ('error', '__sentinel')),"
             " x -> struct(x.kind as kind, x.text as text,"
             " x.media_ref as media_ref, x.offset as offset))"
-        ).alias("spans"),
-        "error",
-    )
-    # preserve docs that produced no output rows (empty spans array)
-    all_docs = documents_in.select("doc_id")
-    return all_docs.join(assembled, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(
-            "spans", F.expr(
-                "cast(array() as array<struct<kind:string,text:string,"
-                "media_ref:string,offset:int>>)")
         ).alias("spans"),
         "error",
     )
