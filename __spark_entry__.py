@@ -185,9 +185,8 @@ def q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data quality scoring (rows-only: the float mix is not
-    bit-stable across engines; components are oracle-checked via
-    token_stats / lang_id)."""
+    """Training-data quality scoring; DuckDB twin mirrors the exact
+    IEEE-754 expression tree (textstats.quality_score_sql)."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id", F.round(textstats.quality_score(F.col("text")), 4).alias("quality")
@@ -254,8 +253,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.concat(F.lit("prefix "), F.col("text")).alias("text"),
     )
+    # max_df=1000 is the production stopword-shingle cap default
     pairs = dedup.ngram_jaccard_pairs(
-        d.unionByName(near), k=3, threshold=0.6, max_df=100000
+        d.unionByName(near), k=3, threshold=0.6, max_df=1000
     )
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -281,6 +281,20 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_graph(e.unionByName(clones), k=2, max_dist=0.1).select(
         "src", "dst", "rank"
     )
+
+
+def q_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale KNN graph: multi-rotation LSH candidates, no corpus
+    broadcast / O(N^2) (the scale path for knn_graph)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    clones = e.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    return similarity.knn_graph_lsh(
+        e.unionByName(clones), k=2, max_dist=0.1, n_planes=8, rotations=3
+    ).select("src", "dst", "rank")
 
 
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk": q_ann_topk,
         "knn_graph": q_knn_graph,
+        "knn_graph_lsh": q_knn_graph_lsh,
         "embedding_neardup": q_embedding_neardup,
         "dedup_groups": q_dedup_groups,
         "full_text": q_full_text,
@@ -599,6 +614,45 @@ def oracle_sql() -> dict[str, str]:
     """
     from pydoxtools_spark.operators.similarity import random_planes
 
+    def _bucket_expr(planes):
+        return " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(x) for x in p)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+
+    rot_selects = " UNION ALL ".join(
+        f"SELECT a.vec_id AS src, b.vec_id AS dst FROM b{r} a "
+        f"JOIN b{r} b ON a.bucket = b.bucket AND a.vec_id != b.vec_id"
+        for r in range(3)
+    )
+    rot_ctes = ", ".join(
+        f"b{r} AS (SELECT vec_id, {_bucket_expr(random_planes(64, 8, 42 + r))} "
+        "AS bucket FROM e)"
+        for r in range(3)
+    )
+    knn_lsh_oracle = f"""
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (
+      SELECT * FROM e0
+      UNION ALL
+      SELECT vec_id + 10000000, v FROM e0 WHERE vec_id < 50
+    ), {rot_ctes},
+    cand AS (SELECT DISTINCT src, dst FROM ({rot_selects})),
+    scored AS (
+      SELECT cand.src, cand.dst, list_cosine_similarity(sa.v, sb.v) AS cs
+      FROM cand JOIN e sa ON cand.src = sa.vec_id
+                JOIN e sb ON cand.dst = sb.vec_id
+    ),
+    ranked AS (
+      SELECT src, dst, cs,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY cs DESC, dst) AS rank
+      FROM scored)
+    SELECT src, dst, rank FROM ranked WHERE rank <= 2 AND 1.0 - cs <= 0.1
+    """
+
     planes = random_planes(64, 8)
     bucket_expr = " || ".join(
         "(CASE WHEN list_dot_product(v, ["
@@ -626,7 +680,57 @@ def oracle_sql() -> dict[str, str]:
       FROM documents)
     GROUP BY word ORDER BY cnt DESC, word LIMIT 20
     """
-    stats_oracle = "SELECT sum(n_chars) AS sum_n_chars, count(*) AS n_docs FROM documents"
+    # CAST: DuckDB sum(BIGINT) yields HUGEINT; Spark yields bigint —
+    # without the cast the driver's value-hash differs on equal values
+    stats_oracle = ("SELECT CAST(sum(n_chars) AS BIGINT) AS sum_n_chars, "
+                    "count(*) AS n_docs FROM documents")
+    from pydoxtools_spark.operators.dedup import simhash_sql
+    from pydoxtools_spark.operators.textstats import quality_score_sql
+
+    simhash_oracle = rf"""
+    SELECT doc_id, {simhash_sql('toks', 16)} AS simhash
+    FROM (SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                              ' ') AS toks
+          FROM documents)
+    """
+    quality_oracle = (
+        f"SELECT doc_id, {quality_score_sql('text')} AS quality FROM documents"
+    )
+    # same inverted-index shape as dedup.ngram_jaccard_pairs: DISTINCT
+    # 3-word shingle hashes, df cap (>1000 docs) as stopword filter,
+    # |A∪B| = |A|+|B|-common with sizes from the UNCAPPED sets
+    ngram_oracle = r"""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, 'prefix ' || text FROM documents
+    ), d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ') AS ws
+      FROM u
+    ), sh AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+2], ' ')) AS sh
+      FROM d, unnest(range(1, greatest(len(ws) - 2, 1) + 1)) AS r(i)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), pop AS (
+      SELECT sh FROM sh GROUP BY sh HAVING count(*) > 1000
+    ), filt AS (
+      SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM pop)
+    ), cmn AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM filt a JOIN filt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM cmn
+    JOIN sizes sa ON cmn.id_a = sa.doc_id
+    JOIN sizes sb ON cmn.id_b = sb.doc_id
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    """
     events_oracle = """
     SELECT date_trunc('hour', ts) AS hour, event_type,
            count(*) AS n_events, round(sum(value), 4) AS sum_value
@@ -662,15 +766,16 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": fp_oracle,
         "exact_dedup": exact_dedup_oracle,
         "minhash_signature": minhash_oracle,
-        # simhash / ngram_jaccard_pairs: rows-only (bit-twiddling and
-        # inverted-index SQL twins omitted; the primitives they compose
-        # are oracle-checked above)
+        "simhash": simhash_oracle,
+        "ngram_jaccard_pairs": ngram_oracle,
+        "quality_score": quality_oracle,
         "minhash_fast": minhash_fast_oracle,
         "minhash_lsh_pairs": lsh_oracle,
         "full_text": full_text_oracle,
         "sections": sections_oracle,
         "ann_topk": ann_oracle,
         "knn_graph": knn_oracle,
+        "knn_graph_lsh": knn_lsh_oracle,
         "embedding_neardup": neardup_oracle,
         "dedup_groups": """
     SELECT doc_id AS id, doc_id AS component FROM documents

@@ -37,6 +37,7 @@ def main() -> None:
     result = run_resumable(
         spark, docs, pdf, args.output,
         run_id=args.run_id, parallelism=args.parallelism,
+        max_pages=args.max_pages,
     )
     print(json.dumps(result))
     spark.stop()

@@ -90,6 +90,12 @@ WORD_CLUSTER_THRESHOLD = 1.0
 MIN_CELL_WIDTH = 6.0
 CELL_TEXT_TOLERANCE = 5.0
 CELL_BORDER_TOLERANCE = 7.0  # cluster1D tol for grid lines (:555-608)
+# Cell-index join convention (FROZEN): a line center is assigned to cell
+# i = (count of borders STRICTLY below the center) - 1 on BOTH paths —
+# np.searchsorted(borders, center, side='left') - 1 in the oracle,
+# size(filter(borders, b -> b < center)) - 1 in Spark SQL.  A center
+# exactly equal to a border value belongs to the cell ABOVE/RIGHT of it.
+CELL_BORDER_STRICT = True
 # Area filters (extract_tables.py:1177-1210).
 MIN_TABLE_AREA_W = 50.0
 MIN_TABLE_AREA_H = 50.0
@@ -117,6 +123,9 @@ LANGID_STOPWORDS = {
     "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que"],
     "es": ["el", "la", "los", "y", "es", "no", "por", "que"],
 }
+# zh is scored by CJK-ideograph character count (no stopword tokens);
+# literal range chars so Java regex and RE2 parse it identically.
+CJK_CHAR_CLASS = "[一-鿿]"
 
 # ------------------------------------------------------------------- dedup
 MINHASH_NUM_PERM = 64

@@ -315,6 +315,25 @@ def simhash(col: Column, bits: int = SIMHASH_BITS) -> Column:
     )
 
 
+def simhash_sql(tokens_expr: str, bits: int = SIMHASH_BITS) -> str:
+    """DuckDB twin of simhash(): `tokens_expr` names a LIST(VARCHAR)
+    column of the space-split normalized text (compute it once in a
+    subquery — this expression references it `bits` times).  Bit j of
+    md5(token) = nibble j//4 (hex char j//4+1) AND (8 >> j%4); the ±1
+    majority vote and '0'/'1' rendering mirror the Spark expression
+    exactly."""
+    bit_cases = []
+    for j in range(bits):
+        ni = j // 4 + 1
+        mask = 8 >> (j % 4)
+        vote = (
+            f"list_sum([CASE WHEN (('0x' || substr(md5(t), {ni}, 1))::INT "
+            f"& {mask}) != 0 THEN 1 ELSE -1 END FOR t IN {tokens_expr}])"
+        )
+        bit_cases.append(f"(CASE WHEN {vote} > 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bit_cases)
+
+
 def simhash_hamming_pairs(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", max_hamming: int = 3,
                           bits: int = SIMHASH_BITS,
@@ -401,31 +420,46 @@ def ngram_jaccard_pairs(
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 20) -> DataFrame:
+                         max_iter: int = 20,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """Near-duplicate pairs -> canonical groups via iterative min-label
-    propagation (alternating large-star/small-star style): each node
-    adopts the smallest id reachable through its edges; converges in
-    O(log diameter) rounds.  Returns (id, component) where component =
-    min id of the group.
+    propagation: each node adopts the smallest id reachable through its
+    edges.  Returns (id, component) where component = min id of the
+    group.  Dedup graphs are unions of near-cliques (tiny diameter), so
+    2-3 rounds converge in practice; max_iter is the hard budget.
 
-    Scale notes: each round is one shuffle on the edge list; dedup
-    graphs are unions of near-cliques (tiny diameter), so 2-3 rounds
-    converge in practice.  localCheckpoint per round truncates the
-    lineage (iterative plans otherwise grow exponentially).
+    Scale notes (100 TB):
+      - ONE materializing action per round — the checkpoint.  The
+        convergence check rides on it as an Observation (CollectMetrics
+        node in the same plan), so there is NO extra per-round driver
+        count job or label self-join.
+      - with checkpoint_dir set, rounds use reliable `checkpoint()`
+        (HDFS/object store) and survive executor loss; the default
+        localCheckpoint is the single-job form (lineage truncation only
+        — executor loss would force a full restart, acceptable only
+        when the whole job is one retryable unit).
     """
-    edges = (
+    from pyspark.sql import Observation
+
+    spark = pairs.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir else (
+            df.localCheckpoint(eager=True))
+
+    edges = _ckpt(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # each node proposes its current component to its neighbors
         prop = (
             edges.join(labels, edges.a == labels.id)
@@ -433,24 +467,26 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .groupBy("id")
             .agg(F.min("component").alias("n_comp"))
         )
-        new_labels = (
+        obs = Observation(f"cc_round_{i}")
+        new_labels = _ckpt(
             labels.join(prop, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("n_comp", F.col("component"))
-                ).alias("component"),
+                ).alias("new_component"),
+                F.col("component").alias("old_component"),
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("new_component") != F.col("old_component")).cast("int")
+                ).alias("changed"),
+            )
+            .select("id", F.col("new_component").alias("component"))
         )
         labels = new_labels
-        if changed == 0:
+        if int(obs.get["changed"] or 0) == 0:
             break
     return labels
 

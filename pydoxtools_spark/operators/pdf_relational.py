@@ -157,13 +157,17 @@ def pdf_layout_items(pdf_elements: DataFrame,
         )
         .withColumn("ncols", F.size("col_b") - 1)
         .withColumn("nrows", F.size("row_b") - 1)
+        # STRICT < : the oracle's np.searchsorted(side='left') - 1 counts
+        # borders strictly below the center; a center exactly on a border
+        # must land in the same cell on both paths (frozen convention,
+        # see constants.py CELL_BORDER_STRICT note)
         .withColumn(
             "ci",
-            F.size(F.filter("col_b", lambda b: b <= F.col("cx"))) - 1,
+            F.size(F.filter("col_b", lambda b: b < F.col("cx"))) - 1,
         )
         .withColumn(
             "ri",
-            F.size(F.filter("row_b", lambda b: b <= F.col("cy"))) - 1,
+            F.size(F.filter("row_b", lambda b: b < F.col("cy"))) - 1,
         )
         .filter(
             (F.col("ci") >= 0) & (F.col("ci") < F.col("ncols"))
@@ -206,7 +210,16 @@ def pdf_layout_items(pdf_elements: DataFrame,
             ).alias("cellmap"),
             F.count("*").alias("filled"),
         )
-        .filter(F.col("filled") * 2 >= F.col("nrows") * F.col("ncols"))
+        # full is_valid_table lockstep: >=2 rows AND >=2 cols AND
+        # half-filled (detect_table_areas only guarantees >=2 borders,
+        # i.e. nrows/ncols >= 1 — without this a 1-row ruled area is
+        # emitted here but rejected by the oracle, flipping the
+        # covered-text anti-join)
+        .filter(
+            (F.col("filled") * 2 >= F.col("nrows") * F.col("ncols"))
+            & (F.col("nrows") >= 2)
+            & (F.col("ncols") >= 2)
+        )
     ).persist()  # reused by table render AND valid-area anti-join
     row_expr = (
         "array_join(transform(sequence(0, ncols - 1), "

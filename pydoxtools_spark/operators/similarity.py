@@ -143,7 +143,13 @@ def knn_graph(corpus: DataFrame, k: int = 4, max_dist: float = 0.2,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Similarity graph edges: each vector's k nearest cosine neighbors
     with distance (1-cos) <= max_dist — the reference's SimilarityGraph
-    semantics (extract_index.py:163-196) relationally."""
+    semantics (extract_index.py:163-196) relationally.
+
+    EXACT form: broadcasts the full corpus as the query side — correct
+    for the reference's per-document-set scope (a few thousand text
+    pieces), a scale-killer beyond ~100k vectors.  The corpus-scale
+    path is knn_graph_lsh below (bucketed candidates, no broadcast,
+    no O(N^2))."""
     edges = brute_force_topk(corpus, corpus, k=k, id_col=id_col, vec_col=vec_col)
     return edges.select(
         F.col("query_id").alias("src"),
@@ -151,6 +157,61 @@ def knn_graph(corpus: DataFrame, k: int = 4, max_dist: float = 0.2,
         (1.0 - F.col("cos_sim")).alias("dist"),
         "rank",
     ).filter(F.col("dist") <= max_dist)
+
+
+def knn_graph_lsh(
+    corpus: DataFrame,
+    k: int = 4,
+    max_dist: float = 0.2,
+    n_planes: int = 8,
+    rotations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """KNN graph at corpus scale: candidate pairs come from multi-table
+    LSH (`rotations` independent plane sets — rotating the planes is the
+    standard recall amplifier: a near pair missed by one table collides
+    in another), exact cosine is computed only within buckets, and the
+    corpus is never broadcast or cross-joined.
+
+    Plan shape: per rotation one equi-join on the bucket string (shuffle
+    hash/SMJ, AQE splits skewed buckets), then a distinct on bare
+    (src, dst) ids — vectors are joined back AFTER the dedup so the
+    wide rows never flow through it.  Recall < 1 by design; identical
+    vectors always share every bucket (recall 1 for exact dups)."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = None
+    for r in range(rotations):
+        planes = random_planes(dim, n_planes, seed + r)
+        b = c.select("id", lsh_bucket(F.col("v"), planes).alias("bucket"))
+        x, y = b.alias("x"), b.alias("y")
+        pairs = x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") != F.col("y.id")),
+        ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["src", "dst"])
+    sv = c.select(F.col("id").alias("src"), F.col("v").alias("sv"))
+    dv = c.select(F.col("id").alias("dst"), F.col("v").alias("dv"))
+    scored = (
+        cand.join(sv, "src")
+        .join(dv, "dst")
+        .select("src", "dst", cosine(F.col("sv"), F.col("dv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "src", "dst", (1.0 - F.col("cos_sim")).alias("dist"), "rank"
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
 
 
 def embedding_neardup_pairs(

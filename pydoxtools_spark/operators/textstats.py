@@ -23,14 +23,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..constants import LANGID_STOPWORDS, TOKEN_REGEX
+from ..constants import CJK_CHAR_CLASS, LANGID_STOPWORDS, TOKEN_REGEX
 
 # ------------------------------------------------------------- counting
 
 
 def num_words(col: Column) -> Column:
-    """Whitespace word count (reference: len(split()))."""
-    return F.size(F.split(F.trim(col), r"\s+"))
+    """Whitespace word count (reference: len(split())).
+
+    Counted as non-space runs (regexp_extract_all of \\S+) rather than
+    size(split(...)): Python str.split() drops empties, so empty /
+    whitespace-only text must count 0 words — split-of-'' returns ['']
+    (count 1) while \\S+ matches nothing, and the DuckDB twin
+    len(regexp_extract_all(text, '\\S+')) agrees identically."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\S+"), 0))
 
 
 def num_tokens(col: Column) -> Column:
@@ -54,6 +60,8 @@ def a_d_ratio(col: Column) -> Column:
 
 # -------------------------------------------------------------- quality
 
+QUALITY_STOPWORD_REGEX = r"\b(the|and|of|to|in|is|der|die|le|la|el|los)\b"
+
 
 def quality_score(col: Column) -> Column:
     """Training-data quality score in [0,1]: mix of length signal,
@@ -62,14 +70,28 @@ def quality_score(col: Column) -> Column:
     n_w = num_words(col)
     mean_wl = n_chars / F.when(n_w > 0, n_w).otherwise(1)
     stop_hits = F.size(
-        F.regexp_extract_all(
-            F.lower(col), F.lit(r"\b(the|and|of|to|in|is|der|die|le|la|el|los)\b"), 0
-        )
+        F.regexp_extract_all(F.lower(col), F.lit(QUALITY_STOPWORD_REGEX), 0)
     )
     len_sig = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     wl_sig = F.when((mean_wl >= 3) & (mean_wl <= 10), 1.0).otherwise(0.3)
     stop_sig = F.least(stop_hits / F.greatest(n_w, F.lit(1)) * 5.0, F.lit(1.0))
     return ((len_sig + wl_sig + stop_sig + a_d_ratio(col)) / 4.0).alias("quality")
+
+
+def quality_score_sql(expr: str) -> str:
+    """DuckDB twin of quality_score: identical arithmetic, identical
+    operation order (doubles are IEEE-754 on both engines, so the same
+    expression tree rounds to the same 4 decimals)."""
+    nw = f"len(regexp_extract_all({expr}, '\\S+'))"
+    sh = f"len(regexp_extract_all(lower({expr}), '{QUALITY_STOPWORD_REGEX}'))"
+    alpha = f"length(regexp_replace({expr}, '[^A-Za-z]', '', 'g'))"
+    digit = f"length(regexp_replace({expr}, '[^0-9]', '', 'g'))"
+    mean_wl = f"(length({expr}) / (CASE WHEN {nw} > 0 THEN {nw} ELSE 1 END))"
+    len_sig = f"least(length({expr}) / 500.0, 1.0)"
+    wl_sig = f"(CASE WHEN {mean_wl} >= 3 AND {mean_wl} <= 10 THEN 1.0 ELSE 0.3 END)"
+    stop_sig = f"least(({sh} / greatest({nw}, 1)) * 5.0, 1.0)"
+    adr = f"({alpha} / (CASE WHEN {alpha} + {digit} > 0 THEN {alpha} + {digit} ELSE 1 END))"
+    return f"round(({len_sig} + {wl_sig} + {stop_sig} + {adr}) / 4.0, 4)"
 
 
 # -------------------------------------------------------------- lang id
@@ -78,7 +100,9 @@ def quality_score(col: Column) -> Column:
 def lang_id(col: Column) -> Column:
     """Stopword-profile language ID with 'unknown' default — same
     contract as the reference's langdetect wrapper with
-    .default('unknown') (extract_classes.py:19-26)."""
+    .default('unknown') (extract_classes.py:19-26).  zh has no stopword
+    list; its score is the CJK-ideograph character count (langdetect
+    covers zh in the reference; the corpus includes zh docs)."""
     lowered = F.lower(col)
     scores = []
     for lang, words in LANGID_STOPWORDS.items():
@@ -89,6 +113,12 @@ def lang_id(col: Column) -> Column:
                 F.lit(lang).alias("lang"),
             )
         )
+    scores.append(
+        F.struct(
+            F.size(F.regexp_extract_all(col, F.lit(CJK_CHAR_CLASS), 0)).alias("hits"),
+            F.lit("zh").alias("lang"),
+        )
+    )
     best = F.array_max(F.array(*scores))
     return F.when(best["hits"] > 0, best["lang"]).otherwise("unknown")
 
@@ -102,9 +132,10 @@ def lang_id_sql(expr: str) -> str:
         lang: f"len(regexp_extract_all(lower({expr}), '\\b({'|'.join(ws)})\\b'))"
         for lang, ws in LANGID_STOPWORDS.items()
     }
+    hits["zh"] = f"len(regexp_extract_all({expr}, '{CJK_CHAR_CLASS}'))"
     # array_max picks max by (hits, lang): build CASE ladder ordering langs
     # descending so the max-hits / max-lang pair wins
-    langs = sorted(LANGID_STOPWORDS, reverse=True)
+    langs = sorted(hits, reverse=True)
     cond = " ".join(
         f"WHEN {hits[lang]} > 0 AND "
         + " AND ".join(

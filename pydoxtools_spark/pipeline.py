@@ -239,8 +239,15 @@ def extract(
     )
 
     # running char offset over the doc's reading-ordered span stream;
-    # error spans contribute 0 and are routed to the error column
-    order_cols = [F.col(c) for c in ("span_idx", "ord1", "ord2", "ord3")]
+    # error spans contribute 0 and are routed to the error column.
+    # kind/text/media_ref tie-breakers make the window order TOTAL and
+    # identical to the array_sort struct order below — without them two
+    # spans tying on all four sort keys (e.g. two PDF items at identical
+    # (p_num, y0, x0)) would get nondeterministic offsets.
+    order_cols = [
+        F.col(c)
+        for c in ("span_idx", "ord1", "ord2", "ord3", "kind", "text", "media_ref")
+    ]
     w = (
         Window.partitionBy("doc_id")
         .orderBy(*order_cols)
@@ -310,17 +317,29 @@ def run_resumable(
     out_dir: str,
     run_id: str | None = None,
     parallelism: int = 32,
+    max_pages: int | None = None,
 ) -> dict:
     """Resumable batch run: anti-join already-committed doc_ids (the
     parquet/Iceberg output snapshot IS the checkpoint — SURVEY.md §2.10),
     extract the remainder, append output + metrics.
 
-    With Iceberg this would be `MERGE INTO`; on plain parquet we append
-    and rely on doc_id anti-join idempotence.
+    Single extraction pass: run-level counters come from an Observation
+    attached to the write action (no pre-count job, kernels run exactly
+    once), the write lands in a hive-partitioned `run_id=<id>/` subdir,
+    and per-partition lineage metrics re-read ONLY that subdir (columns
+    partition_id/error/size(spans)) — never the full output table.  The
+    partition_id captured at write time is persisted in the output as
+    the lineage column.
+
+    With Iceberg this would be `MERGE INTO` + snapshot metadata; on
+    plain parquet we append and rely on doc_id anti-join idempotence.
     """
+    from pyspark.sql import Observation
+
     run_id = run_id or uuid.uuid4().hex[:12]
     spans_path = f"{out_dir}/extracted"
     metrics_path = f"{out_dir}/metrics"
+    run_path = f"{spans_path}/run_id={run_id}"
 
     todo = documents_in
     try:
@@ -329,20 +348,45 @@ def run_resumable(
     except Exception:
         pass  # first run: nothing committed yet
 
-    n_todo = todo.count()
     t0 = time.monotonic()
-    if n_todo:
-        extracted = extract(spark, todo, pdf_elements, parallelism)
-        extracted.write.mode("append").parquet(spans_path)
-        elapsed_ms = int((time.monotonic() - t0) * 1000)
-        # metrics over this run's committed docs (cheap relational scan of
-        # the fresh output, no kernel re-execution)
-        this_run = spark.read.parquet(spans_path).join(
-            todo.select("doc_id"), "doc_id", "left_semi")
-        m = metrics_for(this_run, run_id=run_id, input_snapshot=spans_path)
-        m = m.withColumn("elapsed_ms", F.lit(elapsed_ms).cast("long"))
+    obs = Observation(f"extract_{run_id}")
+    extracted = (
+        extract(spark, todo, pdf_elements, parallelism, max_pages=max_pages)
+        .withColumn("partition_id", F.spark_partition_id())
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("docs_processed"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                "parse_failures"),
+            F.sum(F.size("spans")).alias("span_count"),
+        )
+    )
+    extracted.write.mode("append").parquet(run_path)
+    elapsed_ms = int((time.monotonic() - t0) * 1000)
+    stats = obs.get
+    n_done = int(stats["docs_processed"] or 0)
+    if n_done:
+        m = (
+            spark.read.parquet(run_path)
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("docs_processed"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias(
+                    "parse_failures"),
+                F.sum(F.size("spans")).alias("span_count"),
+            )
+            .select(
+                F.lit(run_id).alias("run_id"),
+                "partition_id",
+                "docs_processed",
+                "parse_failures",
+                "span_count",
+                F.lit(elapsed_ms).cast("long").alias("elapsed_ms"),
+                F.lit(run_path).alias("input_snapshot"),
+            )
+        )
         m.write.mode("append").parquet(metrics_path)
-    else:
-        elapsed_ms = 0
-    return {"run_id": run_id, "docs_processed": n_todo,
+    return {"run_id": run_id, "docs_processed": n_done,
+            "parse_failures": int(stats["parse_failures"] or 0),
+            "span_count": int(stats["span_count"] or 0),
             "elapsed_ms": elapsed_ms, "output": spans_path}

@@ -210,3 +210,33 @@ def test_connected_components_and_canonical_dedup(spark):
     kept = sorted(r["doc_id"]
                   for r in dedup.dedup_keep_canonical(docs, pairs).collect())
     assert kept == [1, 7, 9]
+
+
+def test_knn_graph_lsh_no_corpus_broadcast(spark):
+    """The LSH KNN graph must never cross-join or broadcast-nested-loop
+    the corpus (the scale-killer the brute-force form has by design)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(60)]
+    rows += [(1000 + i, rows[i][1]) for i in range(10)]  # exact clones
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    g = similarity.knn_graph_lsh(e, k=2, max_dist=0.1, n_planes=8, rotations=3)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # exact clones share every bucket -> recall 1 at dist ~0
+    edges = {(r["src"], r["dst"]) for r in g.collect()}
+    for i in range(10):
+        assert (1000 + i, i) in edges
+
+
+def test_connected_components_checkpoint_dir(spark, tmp_path):
+    """Reliable-checkpoint form converges identically."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"])
+    comp = {r["id"]: r["component"]
+            for r in dedup.connected_components(
+                pairs, checkpoint_dir=str(tmp_path / "ckpt")).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
