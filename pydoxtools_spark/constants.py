@@ -82,13 +82,34 @@ MIN_BOX_TEXT_CHARS = 2  # 1-char boxes dropped (extract_textstructure.py:410)
 
 # ------------------------------------------------------------ table kernel
 # Single-linkage clustering threshold for table-area merging
-# (extract_tables.py:1099-1174 family).
+# (extract_tables.py:1018: constant 10.0; sensitivity tuned through the
+# per-level distance weights below).
 TABLE_AREA_CLUSTER_THRESHOLD = 10.0
-# Word-building distance threshold (extract_tables.py:351-386).
+# Two-level weighted-distance parameters for area detection
+# (TableExtractionParameters.reduced_params, extract_tables.py:74-87:
+# hp = es1 11.1, es2 2.1, gs1 11.1, gs2 20.1; va/ha = [gs, es, es/2, es]).
+AREA_DETECTION_LEVELS = [
+    {"va": [11.1, 11.1, 5.55, 11.1], "ha": [11.1, 11.1, 5.55, 11.1]},
+    {"va": [20.1, 2.1, 1.05, 2.1], "ha": [20.1, 2.1, 1.05, 2.1]},
+]
+# Word-building distance threshold + char pairwise params
+# (extract_tables.py:351-386: max_word_distance 1.0;
+# TableExtractionParameters: max_char_disalignement 4.0, max_char_dist 2.0).
 WORD_CLUSTER_THRESHOLD = 1.0
-# Sweep-line cell constants (extract_tables.py:400-553).
+MAX_CHAR_DISALIGNMENT = 4.0
+MAX_CHAR_DIST = 2.0
+# Sweep-line cell constants (extract_tables.py:50-64,400-553):
+# max_v_line_thickness 5.0, elem_scan_tol 1.0, min_cell_width 6.0,
+# text_line_tol 5.0, cell_idx_tol 5.0; _get_cell_text newline gap 4.
+MAX_V_LINE_THICKNESS = 5.0
+ELEM_SCAN_TOL = 1.0
 MIN_CELL_WIDTH = 6.0
 CELL_TEXT_TOLERANCE = 5.0
+CELL_IDX_TOL = 5.0
+MIN_NEW_LINE_GAP = 4.0
+# Margin around a candidate area when collecting its elements
+# (TableExtractionParameters.text_extraction_margin = 10.0).
+TEXT_EXTRACTION_MARGIN = 10.0
 CELL_BORDER_TOLERANCE = 7.0  # cluster1D tol for grid lines (:555-608)
 # Cell-index join convention (FROZEN): a line center is assigned to cell
 # i = (count of borders STRICTLY below the center) - 1 on BOTH paths —
@@ -96,12 +117,15 @@ CELL_BORDER_TOLERANCE = 7.0  # cluster1D tol for grid lines (:555-608)
 # size(filter(borders, b -> b < center)) - 1 in Spark SQL.  A center
 # exactly equal to a border value belongs to the cell ABOVE/RIGHT of it.
 CELL_BORDER_STRICT = True
-# Area filters (extract_tables.py:1177-1210).
-MIN_TABLE_AREA_W = 50.0
-MIN_TABLE_AREA_H = 50.0
+# Area filters (extract_tables.py:35-38, 1177-1210): area strictly >
+# 50*50 dots^2; aspect h/w strictly within (1/50, 50).
+MIN_TABLE_AREA = 50.0 * 50.0
 MAX_TABLE_ASPECT = 50.0
-# Graphics filters (extract_tables.py:893-949).
+# Graphics filters (extract_tables.py:893-949, 1004-1010: min_size 5.0,
+# page margin 20, max area ratio 0.4).
 MAX_GRAPHIC_PAGE_AREA_RATIO = 0.4
+MIN_GRAPHIC_SIZE = 5.0
+PAGE_MARGIN = 20.0
 # Frozen valid-table decision-tree thresholds (extract_tables.py:752-758).
 VALID_TABLE_T1 = 1.2666667699813843
 VALID_TABLE_T2 = 11.474941492080688

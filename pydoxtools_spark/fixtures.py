@@ -277,6 +277,136 @@ def _gen_pdf_payload(rng: random.Random, ref_id: str, scale: int):
     return elements, golden
 
 
+# ------------------------------------------------- char-level PDF (full)
+
+CHAR_W, CHAR_H = 5.0, 8.0
+
+
+def _emit_char_table(el, rng, p, boxnum, tx0, ty1, nr, nc,
+                     cell_w=90.0, cell_h=20.0, words_per_cell=2,
+                     word_len=(4, 6), span_top=False, sparse=False):
+    """Emit one ruled table as graphics + Char elements + Text cell
+    lines.  Returns (next_boxnum, expected_grid, bbox) — the grid is the
+    BY-CONSTRUCTION golden the full-fidelity kernel must recover
+    (spanning header text repeats at every covered position, mirroring
+    extract_tables.py:601-606).  sparse tables are constructed to FAIL
+    the frozen validity tree (words_area_sum/h - h/cells <= T2)."""
+    ty0 = ty1 - nr * cell_h
+    for r in range(nr + 1):
+        y = ty1 - r * cell_h
+        boxnum += 1
+        el(p_num=p, boxnum=boxnum, type="Graphic", x0=tx0, y0=y,
+           x1=tx0 + nc * cell_w, y1=y, linewidth=1.0)
+    for c in range(nc + 1):
+        x = tx0 + c * cell_w
+        top = ty1 - cell_h if (span_top and 0 < c < nc) else ty1
+        boxnum += 1
+        el(p_num=p, boxnum=boxnum, type="Graphic", x0=x, y0=ty0,
+           x1=x, y1=top, linewidth=1.0)
+    grid = []
+    for r in range(nr):  # r = 0 is the TOP row
+        row = []
+        cols = 1 if (span_top and r == 0) else nc
+        for c in range(cols):
+            cy = ty1 - (r + 1) * cell_h + 6.0
+            cx0 = tx0 + c * cell_w + 4.0
+            cx = cx0
+            n_words = 1 if sparse else words_per_cell
+            ws = []
+            for _ in range(n_words):
+                wl = 1 if sparse else rng.randint(*word_len)
+                t = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                            for _ in range(wl))
+                boxnum += 1
+                for k, chch in enumerate(t):
+                    el(p_num=p, boxnum=boxnum, type="Char",
+                       x0=cx + k * CHAR_W, y0=cy,
+                       x1=cx + (k + 1) * CHAR_W, y1=cy + CHAR_H, rawtext=chch)
+                ws.append(t)
+                cx += len(t) * CHAR_W + CHAR_W
+            cell_txt = " ".join(ws)
+            # cell text also exists as a normal Text line (consumed by
+            # the covered-box anti-join when the table is valid)
+            boxnum += 1
+            el(p_num=p, boxnum=boxnum, type="Text", x0=cx0, y0=cy,
+               x1=cx - CHAR_W, y1=cy + CHAR_H, rawtext=cell_txt)
+            row.append(cell_txt)
+        if span_top and r == 0:
+            row = row * nc
+        grid.append(row)
+    bbox = (tx0, ty0, tx0 + nc * cell_w, ty1)
+    return boxnum, grid, bbox
+
+
+def gen_chars_doc(doc_idx: int, seed: int = 42):
+    """Char-level PDF doc for the full-fidelity table path: title +
+    text box + valid char table (sometimes with a spanning header) +
+    a sparse candidate the frozen tree must reject (its 1-char lines
+    then fall below MIN_BOX_TEXT_CHARS, so it contributes no spans)."""
+    rng = _rng(doc_idx ^ 0x5AB1E, seed)
+    doc_id = f"cdoc_{doc_idx:08d}"
+    ref = f"media://pdf/{doc_id}_0"
+    elements: list[dict] = []
+
+    def el(**kw):
+        base = dict(
+            doc_id=ref, p_num=0, boxnum=0, linenum=0, type="Text",
+            x0=0.0, y0=0.0, x1=0.0, y1=0.0, rawtext=None,
+            font_name="Helv", font_size=BODY_FONT, font_color="#000",
+            mean_char_orientation=0.0, linewidth=None, media_ref=None,
+        )
+        base.update(kw)
+        elements.append(base)
+
+    page_spans: list[tuple[float, float, tuple]] = []
+    boxnum = 0
+
+    title = _sentence(rng, 2, 5)
+    ty = PAGE_H - 50.0
+    boxnum += 1
+    el(boxnum=boxnum, x0=72.0, y0=ty, x1=380.0, y1=ty + TITLE_FONT,
+       rawtext=title, font_size=TITLE_FONT)
+    page_spans.append((ty, 72.0, (KIND_HEADER, title, None)))
+
+    para = _sentence(rng, 5, 9)
+    py = ty - 40.0
+    boxnum += 1
+    el(boxnum=boxnum, x0=72.0, y0=py, x1=300.0, y1=py + BODY_FONT + 2,
+       rawtext=para)
+    page_spans.append((py, 72.0, (KIND_TEXT, para, None)))
+
+    # valid table (area > 2500, words sized to pass the frozen tree)
+    nr, nc = rng.randint(3, 5), rng.randint(2, 3)
+    span_top = rng.random() < 0.5
+    boxnum, grid, bbox = _emit_char_table(
+        el, rng, 0, boxnum, tx0=72.0, ty1=py - 40.0, nr=nr, nc=nc,
+        span_top=span_top)
+    page_spans.append((bbox[1], bbox[0], (KIND_TABLE, table_to_text(grid), None)))
+
+    # sparse candidate below: rejected by the tree, no spans emitted
+    boxnum, _g, _b = _emit_char_table(
+        el, rng, 0, boxnum, tx0=72.0, ty1=bbox[1] - 40.0, nr=2, nc=2,
+        cell_h=30.0, sparse=True)
+
+    page_spans.sort(key=lambda s: (-s[0], s[1]))
+    golden = [s[2] for s in page_spans]
+
+    doc_row = {"doc_id": doc_id, "spans": [
+        {"kind": IN_KIND_PDF_REF, "text": None, "media_ref": ref, "offset": 0}]}
+    expected_row = {"doc_id": doc_id, "spans": _with_offsets(golden)}
+    return doc_row, elements, expected_row
+
+
+def gen_chars_corpus(n_docs: int, seed: int = 42):
+    docs, pdf, exp = [], [], []
+    for i in range(n_docs):
+        d, p, e = gen_chars_doc(i, seed)
+        docs.append(d)
+        pdf.extend(p)
+        exp.append(e)
+    return docs, pdf, exp
+
+
 # --------------------------------------------------------------- doc
 
 

@@ -36,6 +36,7 @@ import numpy as np
 import pandas as pd
 
 from ..constants import (
+    AREA_DETECTION_LEVELS,
     CELL_BORDER_TOLERANCE,
     CELL_SORT_Y_WEIGHT,
     KIND_HEADER,
@@ -46,8 +47,9 @@ from ..constants import (
     MAX_TABLE_ASPECT,
     MIN_BOX_TEXT_CHARS,
     MIN_CELL_WIDTH,
-    MIN_TABLE_AREA_H,
-    MIN_TABLE_AREA_W,
+    MIN_GRAPHIC_SIZE,
+    MIN_TABLE_AREA,
+    PAGE_MARGIN,
     TABLE_AREA_CLUSTER_THRESHOLD,
     TITLE_MAX_WORDS,
     TITLE_SIZE_RATIO,
@@ -95,6 +97,82 @@ def _pairwise_gap_distance(boxes: np.ndarray) -> np.ndarray:
     return np.maximum(dx, dy)
 
 
+def _axis_gap(boxes: np.ndarray, axis: int) -> np.ndarray:
+    """Pairwise gap along one axis, clipped at 0 (reference
+    pairwise_box_gap_distance_along_axis_func, cluster_utils.py:154-191:
+    minimum-bounding-length minus the two individual lengths)."""
+    c0, c1 = (1, 3) if axis == 1 else (0, 2)
+    lo, hi = boxes[:, c0], boxes[:, c1]
+    l_along = np.maximum(hi[:, None], hi[None, :]) - np.minimum(lo[:, None], lo[None, :])
+    lb = hi - lo
+    return np.maximum(0.0, l_along - lb[:, None] - lb[None, :])
+
+
+def _edge_alignments(boxes: np.ndarray) -> list[np.ndarray]:
+    """The six pairwise edge/middle alignment distances (reference
+    pairwise_edge_coordinate_alignement, cluster_utils.py:479-496):
+    [x0, x_mid, x1, y0, y_mid, y1] absolute differences."""
+    xm = (boxes[:, 0] + boxes[:, 2]) / 2.0
+    ym = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    cols = [boxes[:, 0], xm, boxes[:, 2], boxes[:, 1], ym, boxes[:, 3]]
+    return [np.abs(c[:, None] - c[None, :]) for c in cols]
+
+
+def _weighted_distance_matrix(
+    boxes: np.ndarray, params: dict[str, list[float]]
+) -> np.ndarray:
+    """Weighted min-of-sums distance used for table-area merging
+    (reference pairwise_weighted_distance_combination,
+    cluster_utils.py:585-625 with the 'va'/'ha' parameter sets):
+      d_va = va0*y_gap + min(|x0|d*va1, |xm|d*va2, |x1|d*va3)
+      d_ha = ha0*x_gap + min(|y0|d*ha1, |ym|d*ha2, |y1|d*ha3)
+      d    = min(d_va, d_ha)      # OR-relationship between criteria
+    """
+    align = _edge_alignments(boxes)
+    d_coll = []
+    if p := params.get("va"):
+        y_gap = _axis_gap(boxes, 1)
+        d_coll.append(
+            p[0] * y_gap
+            + np.minimum(np.minimum(align[0] * p[1], align[1] * p[2]), align[2] * p[3])
+        )
+    if p := params.get("ha"):
+        x_gap = _axis_gap(boxes, 0)
+        d_coll.append(
+            p[0] * x_gap
+            + np.minimum(np.minimum(align[3] * p[1], align[4] * p[2]), align[5] * p[3])
+        )
+    return np.minimum.reduce(d_coll)
+
+
+def multilevel_cluster(
+    gb: np.ndarray,
+    levels: list[dict[str, list[float]]],
+    threshold: float,
+) -> np.ndarray:
+    """Iterative multi-level area clustering (reference
+    detect_table_area_candidates, extract_tables.py:1130-1146: each
+    level clusters the PREVIOUS level's merged boxes with its own
+    distance weights).  Returns the FINAL cluster label per ORIGINAL
+    box (labels composed through the level merges).  Merge condition is
+    strict `< threshold` — sklearn AgglomerativeClustering stops at
+    distances >= distance_threshold."""
+    cur = gb
+    assign = np.arange(len(gb))
+    for params in levels:
+        if len(cur) < 2:
+            break
+        labels = _union_find_cluster(_weighted_distance_matrix(cur, params) < threshold)
+        _uniq, inv = np.unique(labels, return_inverse=True)
+        merged = np.empty((len(_uniq), 4))
+        for gi in range(len(_uniq)):
+            m = cur[inv == gi]
+            merged[gi] = (m[:, 0].min(), m[:, 1].min(), m[:, 2].max(), m[:, 3].max())
+        assign = inv[assign]
+        cur = merged
+    return assign
+
+
 def _cluster_1d(vals: np.ndarray, tol: float) -> np.ndarray:
     """Sorted 1-D values -> merged representative positions (mean of each
     gap-separated run).  Equivalent of the reference's cluster1D."""
@@ -125,45 +203,87 @@ def is_valid_table(grid: list[list[str]], n_cell_texts: int) -> bool:
     return filled * 2 >= total
 
 
+def filter_graphics(gb: np.ndarray) -> np.ndarray:
+    """Reference graphics pre-filter (filter_out_small_graphics_elements,
+    extract_tables.py:893-949): drop page-background rects
+    (area_ratio >= 0.4), elements thinner than the min dims in their
+    long direction ((w>h AND w>min) OR (h>w AND h>min); squares and
+    dots fail both arms), and elements within PAGE_MARGIN of the page
+    edge.  min dims use the 5.0 floor (the reference couples them to
+    the page's smallest text box; the floor is its recall-preserving
+    lower bound — documented deviation)."""
+    if len(gb) == 0:
+        return gb
+    w = gb[:, 2] - gb[:, 0]
+    h = gb[:, 3] - gb[:, 1]
+    area_ratio = (w * h) / (PAGE_W * PAGE_H)
+    keep = (
+        (area_ratio < MAX_GRAPHIC_PAGE_AREA_RATIO)
+        & (((w > h) & (w > MIN_GRAPHIC_SIZE)) | ((h > w) & (h > MIN_GRAPHIC_SIZE)))
+        & (gb[:, 2] + PAGE_MARGIN < PAGE_W)
+        & (gb[:, 3] + PAGE_MARGIN < PAGE_H)
+        & (gb[:, 0] - PAGE_MARGIN > 0.0)
+        & (gb[:, 1] - PAGE_MARGIN > 0.0)
+    )
+    return gb[keep]
+
+
+def _area_ok(ax0: float, ay0: float, ax1: float, ay1: float) -> bool:
+    """Candidate-area filters (_filter_boxes, extract_tables.py:1177-1210):
+    area strictly > min_table_area, aspect ratio h/w strictly inside
+    (min_aspect, max_aspect)."""
+    aw, ah = ax1 - ax0, ay1 - ay0
+    if aw <= 0 or ah <= 0 or aw * ah <= MIN_TABLE_AREA:
+        return False
+    aspect = ah / aw
+    return (1.0 / MAX_TABLE_ASPECT) < aspect < MAX_TABLE_ASPECT
+
+
+def detect_table_area_boxes(
+    gb: np.ndarray,
+) -> list[tuple[float, float, float, float, np.ndarray]]:
+    """Graphics bboxes (n,4) of ONE page -> filtered candidate areas
+    [(x0,y0,x1,y1, member_boxes)] sorted top-to-bottom
+    (y1 desc, x0 asc, y0 desc, x1 asc — extract_tables.py:1170-1172).
+
+    Two-level weighted-distance clustering (multilevel_cluster with
+    AREA_DETECTION_LEVELS) replaces the single-level chebyshev pass;
+    this is what separates nested/nearby tables the single level
+    merges."""
+    gb = filter_graphics(np.asarray(gb, dtype=float))
+    if len(gb) == 0:
+        return []
+    assign = multilevel_cluster(gb, AREA_DETECTION_LEVELS,
+                                TABLE_AREA_CLUSTER_THRESHOLD)
+    out = []
+    for lab in np.unique(assign):
+        cb = gb[assign == lab]
+        ax0, ay0 = cb[:, 0].min(), cb[:, 1].min()
+        ax1, ay1 = cb[:, 2].max(), cb[:, 3].max()
+        if not _area_ok(ax0, ay0, ax1, ay1):
+            continue
+        out.append((float(ax0), float(ay0), float(ax1), float(ay1), cb))
+    out.sort(key=lambda a: (-a[3], a[0], -a[1], a[2]))
+    return out
+
+
 def detect_table_areas(
     gb: np.ndarray,
 ) -> list[tuple[float, float, float, float, np.ndarray, np.ndarray]]:
     """Graphics bboxes (n,4) of ONE page -> candidate table areas
     [(x0,y0,x1,y1, row_borders asc-y, col_borders asc-x)].
 
-    This is the ONLY numpy stage of the table pipeline (shared by the
-    single-process oracle and the Spark graphics kernel): graphics
-    filtering (extract_tables.py:893-949), single-linkage area
-    clustering via union-find (:1099-1174, cluster_utils.py:681-721),
-    area filters (:1177-1210), grid-border inference (cluster1D,
-    cluster_utils.py:727-733).  Cell-text assignment and validity are
-    relational and happen OUTSIDE (Spark SQL / oracle python).
+    Shared by the single-process oracle and the Spark graphics kernel:
+    graphics filtering (extract_tables.py:893-949), two-level weighted
+    single-linkage clustering via union-find (:1099-1174,
+    cluster_utils.py:585-625, 681-721), area filters (:1177-1210),
+    grid-border inference (cluster1D, cluster_utils.py:727-733).
+    Cell-text assignment and validity are relational and happen OUTSIDE
+    (Spark SQL / oracle python); the char-level full-fidelity path is
+    functions/tablecells.py.
     """
-    if len(gb) == 0:
-        return []
-    w = gb[:, 2] - gb[:, 0]
-    h = gb[:, 3] - gb[:, 1]
-    area_ratio = (np.abs(w) * np.abs(h)) / (PAGE_W * PAGE_H)
-    keep = (area_ratio < MAX_GRAPHIC_PAGE_AREA_RATIO) & (
-        np.maximum(np.abs(w), np.abs(h)) >= MIN_CELL_WIDTH
-    )
-    gb = gb[keep]
-    if len(gb) == 0:
-        return []
-
-    labels = _union_find_cluster(
-        _pairwise_gap_distance(gb) <= TABLE_AREA_CLUSTER_THRESHOLD
-    )
     out = []
-    for lab in np.unique(labels):
-        cb = gb[labels == lab]
-        ax0, ay0 = cb[:, 0].min(), cb[:, 1].min()
-        ax1, ay1 = cb[:, 2].max(), cb[:, 3].max()
-        aw, ah = ax1 - ax0, ay1 - ay0
-        if aw < MIN_TABLE_AREA_W or ah < MIN_TABLE_AREA_H:
-            continue
-        if aw / max(ah, 1e-9) > MAX_TABLE_ASPECT or ah / max(aw, 1e-9) > MAX_TABLE_ASPECT:
-            continue
+    for ax0, ay0, ax1, ay1, cb in detect_table_area_boxes(gb):
         ch = cb[:, 3] - cb[:, 1]
         cw = cb[:, 2] - cb[:, 0]
         hy = cb[(np.abs(ch) <= 2.0) & (cw > MIN_CELL_WIDTH), 1]
@@ -172,7 +292,7 @@ def detect_table_areas(
         col_b = _cluster_1d(vx, CELL_BORDER_TOLERANCE)  # ascending x
         if len(row_b) < 2 or len(col_b) < 2:
             continue
-        out.append((float(ax0), float(ay0), float(ax1), float(ay1), row_b, col_b))
+        out.append((ax0, ay0, ax1, ay1, row_b, col_b))
     return out
 
 
@@ -250,13 +370,35 @@ def extract_pdf_items(
     ]
     graphics = el[el["type"] == "Graphic"]
     images = el[el["type"] == "Image"]
+    chars = el[el["type"] == "Char"] if (el["type"] == "Char").any() else None
 
     items: list[tuple[int, float, float, str, str | None, str | None]] = []
     # (p_num, y0, x0, kind, text, media_ref)
 
-    # ---- tables first (to know which text boxes they consume)
+    # ---- tables first (to know which text boxes they consume).
+    # Pages carrying char-level elements take the full-fidelity path
+    # (word rebuild + sweep-line + spanning cells + frozen validity
+    # tree, functions/tablecells.py); element tables without chars use
+    # the ruled-grid path.
     table_areas_by_page: dict[int, list[tuple[float, float, float, float]]] = {}
     for p in sorted(set(graphics["p_num"].tolist())):
+        pch = chars[chars["p_num"] == p] if chars is not None else None
+        if pch is not None and len(pch):
+            # local import: tablecells imports from this module
+            from .tablecells import extract_page_tables_full
+
+            g = graphics[graphics["p_num"] == p]
+            full = extract_page_tables_full(
+                g[["x0", "y0", "x1", "y1"]].to_numpy(float),
+                pch[["x0", "y0", "x1", "y1"]].to_numpy(float),
+                pch["rawtext"].tolist(),
+            )
+            table_areas_by_page[p] = [bb for bb, _g in full]
+            for (bx0, by0, _bx1, _by1), grid in full:
+                items.append(
+                    (int(p), float(by0), float(bx0), KIND_TABLE,
+                     table_to_text(grid), None))
+            continue
         t_areas = _detect_tables_on_page(
             graphics[graphics["p_num"] == p], text[text["p_num"] == p]
         )

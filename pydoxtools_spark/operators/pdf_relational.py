@@ -95,42 +95,53 @@ def _graphics_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in AREA.fields])
 
 
-def pdf_layout_items(pdf_elements: DataFrame,
-                     pages_per_bucket: int = 8) -> DataFrame:
-    """pdf_elements -> unordered item rows (ITEM schema).  The caller
-    (pipeline._pdf_branch) attaches reading-order sort keys."""
-    from pyspark import StorageLevel
+# full-fidelity table rows: one VALID table per row with its exact bbox
+TABLE_FULL = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("p_num", IntegerType(), False),
+        StructField("x0", DoubleType(), False),
+        StructField("y0", DoubleType(), False),
+        StructField("x1", DoubleType(), False),
+        StructField("y1", DoubleType(), False),
+        StructField("text", StringType(), False),
+    ]
+)
 
-    # five consumers below (text lines x2, graphics, size_cuts, images)
-    # would each rescan the parquet source; one narrow projection is
-    # persisted instead — five low-utilization scan stages collapse
-    # into one (MEMORY_AND_DISK: spills, never fails, per-job lifetime)
-    el = pdf_elements.select(
-        "doc_id", "p_num", "boxnum", "linenum", "type", "x0", "y0",
-        "x1", "y1", "rawtext", "font_size", "mean_char_orientation",
-        "media_ref",
-    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    # ---------------- text lines (vertical + empty excluded)
-    lines = el.filter(
-        (F.col("type") == "Text")
-        & F.col("rawtext").isNotNull()
-        & (F.length(F.trim("rawtext")) > 0)
-        & (F.coalesce(F.col("mean_char_orientation"), F.lit(0.0))
-           != VERTICAL_ORIENTATION)
-    ).select(
-        "doc_id", "p_num", "boxnum", "linenum", "x0", "y0", "x1", "y1",
-        "rawtext", "font_size",
-    )
+def _table_kernel_chars(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel over one (doc_id, page_bucket) group of
+    GRAPHIC + CHAR rows: the full reference table pipeline (word
+    rebuild -> sweep-line cells -> spanning grid -> frozen validity
+    tree, functions/tablecells.py) producing finished VALID tables.
+    Page-local: giant docs parallelize by page bucket exactly like the
+    grid kernel."""
+    from ..functions.spantext import table_to_text
+    from ..functions.tablecells import extract_page_tables_full
 
-    # ---------------- title threshold: exact median per doc (JVM)
-    size_cuts = (
-        el.filter((F.col("type") == "Text") & F.col("font_size").isNotNull())
-        .groupBy("doc_id")
-        .agg((F.median("font_size") * F.lit(TITLE_SIZE_RATIO)).alias("size_cut"))
-    )
+    rows = []
+    doc_id = pdf["doc_id"].iloc[0]
+    for p, page in pdf.groupby("p_num"):
+        g = page[page["type"] == "Graphic"]
+        if g.empty:
+            continue
+        ch = page[page["type"] == "Char"]
+        full = extract_page_tables_full(
+            g[["x0", "y0", "x1", "y1"]].to_numpy(float),
+            ch[["x0", "y0", "x1", "y1"]].to_numpy(float),
+            ch["rawtext"].tolist(),
+        )
+        for (bx0, by0, bx1, by1), grid in full:
+            rows.append((doc_id, int(p), bx0, by0, bx1, by1, table_to_text(grid)))
+    return pd.DataFrame(rows, columns=[f.name for f in TABLE_FULL.fields])
 
-    # ---------------- graphics kernel: page-local numpy, tiny groups
+
+
+def _grid_tables(el, lines, pages_per_bucket: int):
+    """Ruled-grid table path (relational): graphics kernel finds
+    areas+borders; cell assignment, grid render and validity run as
+    whole-stage-codegen Spark SQL.  Returns (tables ITEM rows,
+    valid_areas for the covered-box anti-join)."""
     graphics = el.filter(F.col("type") == "Graphic").select(
         "doc_id", "p_num", "x0", "y0", "x1", "y1",
         (F.col("p_num") / pages_per_bucket).cast("int").alias("page_bucket"),
@@ -245,6 +256,83 @@ def pdf_layout_items(pdf_elements: DataFrame,
     valid_areas = grids.select("doc_id", "p_num", "area_id").join(
         areas, ["doc_id", "p_num", "area_id"]
     ).select("doc_id", "p_num", "ax0", "ay0", "ax1", "ay1")
+    return tables, valid_areas
+
+def pdf_layout_items(pdf_elements: DataFrame,
+                     pages_per_bucket: int = 8,
+                     table_mode: str = "grid") -> DataFrame:
+    """pdf_elements -> unordered item rows (ITEM schema).  The caller
+    (pipeline._pdf_branch) attaches reading-order sort keys.
+
+    table_mode:
+      "grid"  — ruled-grid path: page-local numpy finds areas+borders,
+                cell assignment / render / validity stay relational
+                (whole-stage codegen).  For element tables without
+                char-level data.
+      "chars" — full-fidelity path: the per-(doc,page-bucket) kernel
+                runs the reference pipeline on Graphic+Char rows (word
+                rebuild, sweep-line cells, spanning grid, frozen
+                validity tree) and emits finished tables.  Requires
+                type='Char' rows in pdf_elements.
+    """
+    from pyspark import StorageLevel
+
+    # five consumers below (text lines x2, graphics, size_cuts, images)
+    # would each rescan the parquet source; one narrow projection is
+    # persisted instead — five low-utilization scan stages collapse
+    # into one (MEMORY_AND_DISK: spills, never fails, per-job lifetime)
+    el = pdf_elements.select(
+        "doc_id", "p_num", "boxnum", "linenum", "type", "x0", "y0",
+        "x1", "y1", "rawtext", "font_size", "mean_char_orientation",
+        "media_ref",
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ---------------- text lines (vertical + empty excluded)
+    lines = el.filter(
+        (F.col("type") == "Text")
+        & F.col("rawtext").isNotNull()
+        & (F.length(F.trim("rawtext")) > 0)
+        & (F.coalesce(F.col("mean_char_orientation"), F.lit(0.0))
+           != VERTICAL_ORIENTATION)
+    ).select(
+        "doc_id", "p_num", "boxnum", "linenum", "x0", "y0", "x1", "y1",
+        "rawtext", "font_size",
+    )
+
+    # ---------------- title threshold: exact median per doc (JVM)
+    size_cuts = (
+        el.filter((F.col("type") == "Text") & F.col("font_size").isNotNull())
+        .groupBy("doc_id")
+        .agg((F.median("font_size") * F.lit(TITLE_SIZE_RATIO)).alias("size_cut"))
+    )
+
+    if table_mode == "chars":
+        gc = el.filter(F.col("type").isin("Graphic", "Char")).select(
+            "doc_id", "p_num", "type", "x0", "y0", "x1", "y1", "rawtext",
+            (F.col("p_num") / pages_per_bucket).cast("int").alias("page_bucket"),
+        )
+        # consumed twice (table items + covered-box anti-join): persist
+        # so the python kernel runs once per page bucket
+        tbl = gc.groupBy("doc_id", "page_bucket").applyInPandas(
+            _table_kernel_chars, TABLE_FULL
+        ).persist()
+        tables = tbl.select(
+            F.col("doc_id").alias("ref"),
+            "p_num",
+            "y0",
+            "x0",
+            F.lit(KIND_TABLE).alias("kind"),
+            "text",
+            F.lit(None).cast("string").alias("media_ref"),
+        )
+        valid_areas = tbl.select(
+            "doc_id", "p_num",
+            F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+            F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        )
+    else:
+        tables, valid_areas = _grid_tables(el, lines, pages_per_bucket)
+
 
     # ---------------- text boxes: hash-agg grouping, JVM only
     boxes = (

@@ -137,7 +137,8 @@ def _html_branch(spans: DataFrame, parallelism: int) -> DataFrame:
     return html.mapInPandas(_html_kernel, _OUT_SPAN)
 
 
-def _pdf_branch(spans: DataFrame, pdf_elements: DataFrame) -> DataFrame:
+def _pdf_branch(spans: DataFrame, pdf_elements: DataFrame,
+                table_mode: str = "grid") -> DataFrame:
     """PDF layout branch: relational implementation (pure Spark SQL for
     grouping/cells/ordering; numpy only for page-local graphics
     clustering) — see operators/pdf_relational.py."""
@@ -146,7 +147,8 @@ def _pdf_branch(spans: DataFrame, pdf_elements: DataFrame) -> DataFrame:
     refs = spans.filter(F.col("in_kind") == IN_KIND_PDF_REF).select(
         "doc_id", "span_idx", "in_ref"
     )
-    items = pdf_layout_items(pdf_elements, pages_per_bucket=PAGES_PER_BUCKET)
+    items = pdf_layout_items(pdf_elements, pages_per_bucket=PAGES_PER_BUCKET,
+                             table_mode=table_mode)
 
     return refs.join(items, refs.in_ref == items.ref).select(
         "doc_id",
@@ -201,6 +203,7 @@ def extract(
     parallelism: int = 32,
     page_numbers: list[int] | None = None,
     max_pages: int | None = None,
+    table_mode: str = "grid",
 ) -> DataFrame:
     """documents_in (+ pdf_elements side table) -> extracted
     (doc_id, spans array<struct<kind,text,media_ref,offset>>, error).
@@ -208,7 +211,11 @@ def extract(
     page_numbers / max_pages restrict PDF extraction to selected pages —
     the reference's page-slicing semantics (document.py:978-979,
     1025-1029; pdf_utils.py:306-309) as a JVM-side partition-prunable
-    filter on the elements scan."""
+    filter on the elements scan.
+
+    table_mode: "grid" (element tables, relational cell assignment) or
+    "chars" (full-fidelity word-rebuild/sweep-line/spanning-cell path —
+    requires type='Char' rows; see operators/pdf_relational.py)."""
     if pdf_elements is None:
         from .schemas import PDF_ELEMENT
 
@@ -233,7 +240,7 @@ def extract(
     out = (
         _text_branch(spans)
         .unionByName(_html_branch(spans, parallelism))
-        .unionByName(_pdf_branch(spans, pdf_elements))
+        .unionByName(_pdf_branch(spans, pdf_elements, table_mode))
         .unionByName(_image_branch(spans))
         .unionByName(_sentinel_branch(documents_in))
     )

@@ -1,0 +1,161 @@
+"""Full-fidelity table kernel tests: word rebuild from chars, sweep-line
+cells, spanning cells, and the FROZEN is_valid decision tree — the
+reference's golden-shape invariant (exactly 2 valid tables, shapes
+(10,2) and (14,2); tests/test_extractor.py:170-184) reproduced on a
+constructed char-level fixture."""
+
+import numpy as np
+
+from pydoxtools_spark.functions.tablecells import (
+    cells_to_grid,
+    extract_page_tables_full,
+    is_valid_table_tree,
+    sweep_line_cells,
+    words_from_chars,
+)
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _word(i: int, n: int = 5) -> str:
+    return "".join(_LETTERS[(i * 7 + k) % 26] for k in range(n))
+
+
+def ruled_table(tx0, ty1, nr, nc, cell_w=90.0, cell_h=20.0,
+                words_per_cell=2, word_len=5, span_top=False):
+    """Char-level ruled table: graphics lines + per-cell char boxes.
+    Returns (graphics, char_boxes, char_texts, expected_grid)."""
+    graphics, chars, texts = [], [], []
+    ty0 = ty1 - nr * cell_h
+    for r in range(nr + 1):
+        y = ty1 - r * cell_h
+        graphics.append((tx0, y, tx0 + nc * cell_w, y))
+    for c in range(nc + 1):
+        x = tx0 + c * cell_w
+        top = ty1 - cell_h if (span_top and 0 < c < nc) else ty1
+        graphics.append((x, ty0, x, top))
+    expected = []
+    wi = 0
+    for r in range(nr):  # r = 0 is the TOP row
+        row = []
+        cols = 1 if (span_top and r == 0) else nc
+        for c in range(cols):
+            cy = ty1 - (r + 1) * cell_h + 6.0
+            cx = tx0 + c * cell_w + 4.0
+            ws = []
+            for _ in range(words_per_cell):
+                t = _word(wi, word_len)
+                wi += 1
+                for k, ch in enumerate(t):
+                    chars.append((cx + k * 5.0, cy, cx + (k + 1) * 5.0, cy + 8.0))
+                    texts.append(ch)
+                ws.append(t)
+                cx += len(t) * 5.0 + 5.0
+            row.append(" ".join(ws))
+        if span_top and r == 0:
+            row = row * nc  # spanning text repeats at covered positions
+        expected.append(row)
+    return graphics, chars, texts, expected
+
+
+def test_words_from_chars_rebuild():
+    g, chars, texts, exp = ruled_table(72.0, 760.0, 2, 2)
+    words, wtexts = words_from_chars(np.array(chars), texts)
+    # 2 rows x 2 cols x 2 words
+    assert len(wtexts) == 8
+    flat = {w for row in exp for cell in row for w in cell.split()}
+    assert set(wtexts) == flat
+
+
+def test_sweep_line_and_grid_shapes():
+    g, chars, texts, exp = ruled_table(72.0, 760.0, 3, 2)
+    g, chars = np.array(g, dtype=float), np.array(chars, dtype=float)
+    words, wtexts = words_from_chars(chars, texts)
+    allb = np.vstack([words, g])
+    bbox = (allb[:, 0].min(), allb[:, 1].min(), allb[:, 2].max(), allb[:, 3].max())
+    cells = sweep_line_cells(g, words, wtexts, bbox)
+    assert len(cells) == 6
+    grid, hlines, vlines, span_count = cells_to_grid(cells, words, wtexts)
+    assert len(grid) == 3 and len(grid[0]) == 2
+    assert span_count == 0
+    assert grid == exp  # top-down, left-right, exact text
+
+
+def test_spanning_cell_meshgrid():
+    g, chars, texts, exp = ruled_table(72.0, 700.0, 3, 2, span_top=True)
+    tables = extract_page_tables_full(
+        np.array(g, dtype=float), np.array(chars, dtype=float), texts)
+    assert len(tables) == 1
+    _bbox, grid = tables[0]
+    assert len(grid) == 3 and len(grid[0]) == 2
+    # the spanning header text occupies BOTH top positions
+    assert grid[0][0] == grid[0][1] == exp[0][0]
+    assert grid[1:] == exp[1:]
+
+
+def test_frozen_tree_golden_shapes_10x2_14x2():
+    """The reference's fixture invariant: exactly 2 VALID tables with
+    shapes (10,2) and (14,2); a sparse ruled candidate on the same page
+    is rejected by the frozen decision tree (threshold T2), not by any
+    structural heuristic."""
+    g1, c1, t1, e1 = ruled_table(72.0, 760.0, 10, 2)
+    g2, c2, t2, e2 = ruled_table(72.0, 520.0, 14, 2)
+    # sparse: rasters fine (2x2) but words_area_sum/h - h/cells <= T2
+    g3, c3, t3, _ = ruled_table(72.0, 200.0, 2, 2, cell_h=30.0,
+                                words_per_cell=1, word_len=1)
+    graphics = np.array(g1 + g2 + g3, dtype=float)
+    chars = np.array(c1 + c2 + c3, dtype=float)
+    texts = t1 + t2 + t3
+
+    tables = extract_page_tables_full(graphics, chars, texts)
+    shapes = [(len(gr), len(gr[0])) for _b, gr in tables]
+    assert shapes == [(10, 2), (14, 2)]  # top-to-bottom order, sparse dropped
+    assert [gr for _b, gr in tables] == [e1, e2]
+
+
+def test_tree_thresholds_wired():
+    # exactly the frozen split points (extract_tables.py:752-758)
+    assert not is_valid_table_tree(3, 2, 0, 4, 100.0, 10.0)  # f1 ok, f2 low
+    assert is_valid_table_tree(3, 4, 0, 20, 8000.0, 200.0)
+    assert not is_valid_table_tree(10, 4, 4, 20, 8000.0, 200.0)  # f1 > T1
+
+
+def test_chars_oracle_path_span_equality():
+    """Single-process oracle (extract_pdf_spans) recovers the
+    constructed goldens when Char elements are present."""
+    import pandas as pd
+
+    from pydoxtools_spark.fixtures import gen_chars_corpus
+    from pydoxtools_spark.functions.pdflayout import extract_pdf_spans
+
+    docs, pdf, exp = gen_chars_corpus(25)
+    el = pd.DataFrame(pdf)
+    for e in exp:
+        ref = f"media://pdf/{e['doc_id']}_0"
+        got = extract_pdf_spans(el[el["doc_id"] == ref])
+        want = [(s["kind"], s["text"], s["media_ref"]) for s in e["spans"]]
+        assert got == want, e["doc_id"]
+
+
+def test_chars_mode_spark_end_to_end(spark):
+    """Full-fidelity Spark path (table_mode='chars'): span-sequence
+    equality incl. offsets vs the constructed goldens."""
+    from pydoxtools_spark.fixtures import gen_chars_corpus
+    from pydoxtools_spark.pipeline import extract
+    from pydoxtools_spark.schemas import DOCUMENTS_IN, PDF_ELEMENT
+
+    docs, pdf, exp = gen_chars_corpus(40)
+    docs_df = spark.createDataFrame(docs, schema=DOCUMENTS_IN)
+    pdf_df = spark.createDataFrame(pdf, schema=PDF_ELEMENT)
+    out = extract(spark, docs_df, pdf_df, parallelism=4, table_mode="chars")
+    got = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in r["spans"]]
+        for r in out.collect()
+    }
+    want = {
+        e["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                      for s in e["spans"]]
+        for e in exp
+    }
+    assert got == want
