@@ -128,6 +128,89 @@ def q_text_paragraph_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exploded_spans(spark, docs_in)
 
 
+def q_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HtmlExtractor metadata outputs (title/short_title, keywords,
+    description, language, canonical url — extract_html.py:244-259)
+    over a deterministic wrapper with real <head> metadata."""
+    from pydoxtools_spark.pipeline import html_meta_table
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit('<html lang="en"><head><title>Doc '), did,
+        F.lit(' | Example Site</title><meta name="keywords" content="beta, alpha '),
+        did,
+        F.lit('"><meta name="description" content="Summary of doc '), did,
+        F.lit('"><link rel="canonical" href="https://ex.org/doc/'), did,
+        F.lit('"></head><body><p>'), F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    docs_in = _as_documents_in(d, payload, "html")
+    return html_meta_table(docs_in).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "title", "short_title",
+        F.array_join("keywords", "|").alias("keywords"),
+        "description", "language", "canonical_url",
+    )
+
+
+def q_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-PDF-bytes ingestion: deterministic tiny PDFs (title + body
+    line) built per doc, every 5th one with its xref/trailer stripped to
+    exercise the strict->lenient repair ladder (pdf_utils.py:81-148
+    semantics).  The parse kernel + layout branch must recover the same
+    (header, text) spans either way."""
+    from pydoxtools_spark.pipeline import extract as _extract
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    docs_in = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("pdf_bytes").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("media://pdfb/"),
+                         F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+    def gen_blobs(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # mirror the oracle's trim + \s+ collapse exactly
+                t = _re.sub(r"\s+", " ", (text or "").strip(" "))
+                data = build_tiny_pdf([{
+                    "texts": [(72.0, 700.0, 18.0, f"Doc {doc_id}"),
+                              (72.0, 600.0, 10.0, t)],
+                }])
+                if int(doc_id) % 5 == 0:  # damaged: repair rung must recover
+                    data = data[: data.rfind(b"startxref")]
+                rows.append((f"media://pdfb/{doc_id}", data))
+            yield pd.DataFrame(rows, columns=["ref", "content"])
+
+    blobs = d.mapInPandas(gen_blobs, "ref string, content binary")
+    out = _extract(spark, docs_in, None, parallelism=8, pdf_blobs=blobs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("spans").alias("ord", "span"),
+    ).select(
+        "doc_id", "ord",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("span_text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
 def q_doc_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     payload = (
@@ -396,7 +479,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "html_main_content": q_html_main_content,
+        "html_meta": q_html_meta,
         "text_paragraph_spans": q_text_paragraph_spans,
+        "pdf_bytes": q_pdf_bytes,
         "doc_type_dispatch": q_doc_type_dispatch,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
@@ -440,6 +525,25 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, 2, 'image', NULL, 'media://img/' || doc_id,
            length('Doc ' || doc_id) + length(t)
     FROM d
+    """
+    html_meta_oracle = """
+    SELECT doc_id,
+      'Doc ' || doc_id || ' | Example Site' AS title,
+      'Doc ' || doc_id AS short_title,
+      'alpha ' || doc_id || '|beta' AS keywords,
+      'Summary of doc ' || doc_id AS description,
+      'en' AS language,
+      'https://ex.org/doc/' || doc_id AS canonical_url
+    FROM documents
+    """
+    pdf_bytes_oracle = r"""
+    WITH d AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+               FROM documents)
+    SELECT doc_id, 0 AS ord, 'header' AS kind, 'Doc ' || doc_id AS span_text,
+           CAST(NULL AS VARCHAR) AS media_ref, 0 AS offset
+    FROM d
+    UNION ALL
+    SELECT doc_id, 1, 'text', t, NULL, length('Doc ' || doc_id) FROM d
     """
     text_oracle = """
     WITH d AS (SELECT doc_id, trim(text) AS t FROM documents)
@@ -759,7 +863,9 @@ def oracle_sql() -> dict[str, str]:
     """
     return {
         "html_main_content": html_oracle,
+        "html_meta": html_meta_oracle,
         "text_paragraph_spans": text_oracle,
+        "pdf_bytes": pdf_bytes_oracle,
         "doc_type_dispatch": dispatch_oracle,
         "token_stats": token_oracle,
         "lang_id": lang_oracle,

@@ -33,7 +33,8 @@ KIND_SENTINEL = "__sentinel"  # internal marker, never in output
 # Input span kinds (interleaved corpus, BASELINE.json input_hint).
 IN_KIND_HTML = "html"
 IN_KIND_TEXT = "text"
-IN_KIND_PDF_REF = "pdf_ref"
+IN_KIND_PDF_REF = "pdf_ref"      # media_ref -> pre-parsed pdf_elements rows
+IN_KIND_PDF_BYTES = "pdf_bytes"  # media_ref -> pdf_blobs(ref, content) row
 IN_KIND_IMAGE_REF = "image_ref"
 
 # Paragraph separator for plain-text docs and full_text joins

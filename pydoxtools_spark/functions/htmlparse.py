@@ -266,6 +266,69 @@ def extract_title(raw_html: str) -> str | None:
     return None
 
 
+_TITLE_SEP = None  # compiled lazily
+
+
+def extract_html_meta(raw_html: str, url: str | None = None) -> dict:
+    """Document-level metadata outputs of the reference's HtmlExtractor
+    (extract_html.py:244-259: title, short_title, html_keywords,
+    summary/meta-description, language, canonical/final urls) without
+    the readability/goose3 dependencies:
+
+      title        <title> text
+      short_title  first segment of the title split on common site
+                   separators (" | ", " - ", " : ", …) — deterministic
+                   stand-in for readability's shortened title
+      keywords     <meta name=keywords> comma-split, normalized, sorted
+      description  <meta name=description>
+      language     <html lang> else <meta http-equiv=content-language>
+      canonical_url <link rel=canonical href>, else the given url
+    """
+    import re as _re
+
+    global _TITLE_SEP
+    if _TITLE_SEP is None:
+        _TITLE_SEP = _re.compile(r"\s+[|\-–—:·]\s+")
+
+    root = parse_html(unescape_if_needed(raw_html))
+    title = None
+    metas: dict[str, str] = {}
+    lang = None
+    canonical = None
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if not isinstance(n, _Node):
+            continue
+        if n.tag == "html" and lang is None:
+            lang = n.attrs.get("lang")
+        elif n.tag == "title" and title is None:
+            title = norm_ws(_subtree_text(n)) or None
+        elif n.tag == "meta":
+            name = (n.attrs.get("name") or n.attrs.get("http-equiv") or "").lower()
+            if name and "content" in n.attrs:
+                metas.setdefault(name, n.attrs["content"])
+        elif n.tag == "link" and (n.attrs.get("rel") or "").lower() == "canonical":
+            canonical = canonical or n.attrs.get("href")
+        stack.extend(c for c in reversed(n.children) if isinstance(c, _Node))
+
+    short_title = None
+    if title:
+        segs = _TITLE_SEP.split(title)
+        short_title = segs[0] if len(segs) > 1 and segs[0] else title
+    keywords = sorted(
+        {norm_ws(k) for k in (metas.get("keywords") or "").split(",") if norm_ws(k)}
+    )
+    return {
+        "title": title,
+        "short_title": short_title,
+        "keywords": keywords,
+        "description": metas.get("description"),
+        "language": lang or metas.get("content-language"),
+        "canonical_url": canonical or url,
+    }
+
+
 def extract_jsonld(raw_html: str) -> list[str]:
     """schema.org metadata: contents of <script type="application/ld+json">
     blocks, validated as JSON — the reference's extruct json-ld path

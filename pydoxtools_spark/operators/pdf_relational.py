@@ -38,6 +38,7 @@ from pyspark.sql.types import (
 
 from ..constants import (
     CELL_SORT_Y_WEIGHT,
+    KIND_ERROR,
     KIND_HEADER,
     KIND_IMAGE,
     KIND_TABLE,
@@ -399,4 +400,17 @@ def pdf_layout_items(pdf_elements: DataFrame,
         "media_ref",
     )
 
-    return tables.unionByName(box_items).unionByName(image_items)
+    # ---------------- parse failures (bytes path): error rows that the
+    # assembly routes to the `error` column + parse_failures metric
+    error_items = el.filter(F.col("type") == "ParseError").select(
+        F.col("doc_id").alias("ref"),
+        "p_num",
+        F.lit(0.0).alias("y0"),
+        F.lit(0.0).alias("x0"),
+        F.lit(KIND_ERROR).alias("kind"),
+        F.col("rawtext").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+
+    return (tables.unionByName(box_items).unionByName(image_items)
+            .unionByName(error_items))

@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     StringType,
@@ -47,6 +48,7 @@ from pyspark.sql.types import (
 from .constants import (
     IN_KIND_HTML,
     IN_KIND_IMAGE_REF,
+    IN_KIND_PDF_BYTES,
     IN_KIND_PDF_REF,
     IN_KIND_TEXT,
     KIND_ERROR,
@@ -137,16 +139,103 @@ def _html_branch(spans: DataFrame, parallelism: int) -> DataFrame:
     return html.mapInPandas(_html_kernel, _OUT_SPAN)
 
 
+def _parse_pdf_blobs_kernel(batches):
+    """mapInPandas kernel: (ref, content) -> PDF_ELEMENT rows via the
+    strict -> lenient repair ladder (functions/pdfparse.py; reference
+    semantics pdf_utils.py:81-148).  A blob failing BOTH rungs emits a
+    type='ParseError' row — the layout branch converts it to an error
+    span, never a task failure."""
+    from .functions.pdfparse import PdfParseError, pdf_elements_from_bytes
+    from .schemas import PDF_ELEMENT
+
+    cols = [f.name for f in PDF_ELEMENT.fields]
+    for pdf in batches:
+        rows: list[dict] = []
+        for ref, content in zip(pdf["ref"], pdf["content"]):
+            try:
+                rows.extend(pdf_elements_from_bytes(bytes(content), doc_id=ref))
+            except PdfParseError as e:
+                rows.append(dict(
+                    doc_id=ref, p_num=0, boxnum=0, linenum=0,
+                    type="ParseError", x0=0.0, y0=0.0, x1=0.0, y1=0.0,
+                    rawtext=f"pdf_parse_error: {e}", font_name=None,
+                    font_size=None, font_color=None,
+                    mean_char_orientation=None, linewidth=None,
+                    media_ref=None,
+                ))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def parse_pdf_blobs(pdf_blobs: DataFrame) -> DataFrame:
+    """pdf_blobs(ref string, content binary) -> pdf_elements rows.
+    This is the expensive scan of the bytes path (SURVEY.md §2.1
+    PDFFileLoader row): Arrow-batched, one python worker import of the
+    parser per executor (scalar-iterator form)."""
+    from .schemas import PDF_ELEMENT
+
+    return pdf_blobs.select("ref", "content").mapInPandas(
+        _parse_pdf_blobs_kernel, PDF_ELEMENT)
+
+
+HTML_META = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("span_idx", IntegerType(), False),
+        StructField("title", StringType(), True),
+        StructField("short_title", StringType(), True),
+        StructField("keywords", ArrayType(StringType()), False),
+        StructField("description", StringType(), True),
+        StructField("language", StringType(), True),
+        StructField("canonical_url", StringType(), True),
+    ]
+)
+
+
+def html_meta_table(documents_in: DataFrame) -> DataFrame:
+    """Per-HTML-span metadata columns (the reference HtmlExtractor's
+    non-span outputs, extract_html.py:244-259: title/short_title,
+    keywords, meta description/language, canonical url) as a side
+    table keyed by (doc_id, span_idx)."""
+
+    def kernel(batches):
+        from .functions.htmlparse import extract_html_meta
+
+        cols = [f.name for f in HTML_META.fields]
+        for pdf in batches:
+            rows = []
+            for doc_id, span_idx, raw in zip(
+                pdf["doc_id"], pdf["span_idx"], pdf["in_text"]
+            ):
+                try:
+                    m = extract_html_meta(raw or "")
+                except Exception:
+                    m = {}
+                rows.append(
+                    (doc_id, int(span_idx), m.get("title"),
+                     m.get("short_title"), m.get("keywords") or [],
+                     m.get("description"), m.get("language"),
+                     m.get("canonical_url"))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    html = explode_input_spans(documents_in).filter(
+        F.col("in_kind") == IN_KIND_HTML
+    ).select("doc_id", "span_idx", "in_text")
+    return html.mapInPandas(kernel, HTML_META)
+
+
 def _pdf_branch(spans: DataFrame, pdf_elements: DataFrame,
                 table_mode: str = "grid") -> DataFrame:
     """PDF layout branch: relational implementation (pure Spark SQL for
     grouping/cells/ordering; numpy only for page-local graphics
-    clustering) — see operators/pdf_relational.py."""
+    clustering) — see operators/pdf_relational.py.  Serves both
+    pre-parsed pdf_ref spans and parsed-from-bytes pdf_bytes spans (the
+    caller unions parsed elements into pdf_elements)."""
     from .operators.pdf_relational import pdf_layout_items
 
-    refs = spans.filter(F.col("in_kind") == IN_KIND_PDF_REF).select(
-        "doc_id", "span_idx", "in_ref"
-    )
+    refs = spans.filter(
+        F.col("in_kind").isin(IN_KIND_PDF_REF, IN_KIND_PDF_BYTES)
+    ).select("doc_id", "span_idx", "in_ref")
     items = pdf_layout_items(pdf_elements, pages_per_bucket=PAGES_PER_BUCKET,
                              table_mode=table_mode)
 
@@ -204,8 +293,10 @@ def extract(
     page_numbers: list[int] | None = None,
     max_pages: int | None = None,
     table_mode: str = "grid",
+    pdf_blobs: DataFrame | None = None,
 ) -> DataFrame:
-    """documents_in (+ pdf_elements side table) -> extracted
+    """documents_in (+ pdf_elements side table, + optional
+    pdf_blobs(ref, content binary) for raw-bytes ingestion) -> extracted
     (doc_id, spans array<struct<kind,text,media_ref,offset>>, error).
 
     page_numbers / max_pages restrict PDF extraction to selected pages —
@@ -220,6 +311,8 @@ def extract(
         from .schemas import PDF_ELEMENT
 
         pdf_elements = spark.createDataFrame([], schema=PDF_ELEMENT)
+    if pdf_blobs is not None:
+        pdf_elements = pdf_elements.unionByName(parse_pdf_blobs(pdf_blobs))
     if page_numbers is not None:
         pdf_elements = pdf_elements.filter(F.col("p_num").isin(page_numbers))
     if max_pages is not None:

@@ -41,11 +41,18 @@ def load_directory(
 
 
 def decode_text_col(content: F.Column) -> F.Column:
-    """bytes -> str with utf-8 replace fallback (force_decode semantics;
-    the chardet sniff of the reference is replaced by Spark's decode +
-    replacement chars — a per-doc chardet pass would be a pandas UDF
-    plug-in point)."""
-    return F.decode(content, "UTF-8")
+    """bytes -> str decode ladder (force_decode semantics,
+    extract_filesystem.py:13-22: chardet sniff, then utf-8 with replace).
+    chardet is not in the sandbox; the JVM-side ladder is: accept the
+    bytes as utf-8 when is_valid_utf8 says so, else fall back to
+    ISO-8859-1 (never fails, preserves every byte).  Pure Catalyst
+    expressions, no Python — Spark 4's strict-ANSI decode would throw
+    MALFORMED_CHARACTER_CODING on the probe, hence the validate-first
+    shape."""
+    as_utf8 = content.cast("string")  # byte-copy, no validation
+    return F.when(F.is_valid_utf8(as_utf8), as_utf8).otherwise(
+        F.decode(content, "ISO-8859-1")
+    )
 
 
 def load_sql_table(

@@ -80,3 +80,18 @@ def test_incremental_streaming_facade(spark, tmp_path):
                              parallelism=2)
     q2.awaitTermination(120)
     assert spark.read.parquet(f"{out_dir}/extracted").count() == 4
+
+
+def test_decode_ladder_non_utf8(spark):
+    """Latin-1 bytes garble under utf-8 -> ladder falls back and
+    preserves every byte; clean utf-8 (incl. multibyte) stays utf-8."""
+    from pydoxtools_spark.sources import loaders
+
+    rows = [
+        (bytearray("café".encode("utf-8")),),       # valid utf-8
+        (bytearray("caf\xe9 latin1".encode("latin-1")),),  # invalid utf-8
+    ]
+    df = spark.createDataFrame(rows, "content binary")
+    got = {r["t"] for r in df.select(
+        loaders.decode_text_col(F.col("content")).alias("t")).collect()}
+    assert got == {"café", "café latin1"}

@@ -159,3 +159,29 @@ def test_chars_mode_spark_end_to_end(spark):
         for e in exp
     }
     assert got == want
+
+
+def test_pdf_bytes_failure_containment(spark):
+    """A blob failing BOTH repair rungs becomes an error row + empty
+    spans — never a task failure (north rule containment)."""
+    from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+    from pydoxtools_spark.pipeline import extract
+    from pydoxtools_spark.schemas import DOCUMENTS_IN
+
+    good = build_tiny_pdf([{"texts": [(72.0, 700.0, 12.0, "hello world")]}])
+    blobs = spark.createDataFrame(
+        [("media://pdfb/a", bytearray(good)),
+         ("media://pdfb/b", bytearray(b"not a pdf at all"))],
+        "ref string, content binary")
+    docs = spark.createDataFrame(
+        [{"doc_id": d, "spans": [
+            {"kind": "pdf_bytes", "text": None,
+             "media_ref": f"media://pdfb/{d}", "offset": 0}]}
+         for d in ("a", "b")], schema=DOCUMENTS_IN)
+    rows = {r["doc_id"]: r for r in
+            extract(spark, docs, None, parallelism=2,
+                    pdf_blobs=blobs).collect()}
+    assert rows["a"]["error"] is None
+    assert [s["text"] for s in rows["a"]["spans"]] == ["hello world"]
+    assert rows["b"]["error"] and "pdf_parse_error" in rows["b"]["error"]
+    assert rows["b"]["spans"] == []
