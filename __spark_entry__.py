@@ -420,6 +420,34 @@ def q_exploded_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextPieceSplitter (extract_index.py:22-73): deterministic
+    word-boundary chunking by running char offset."""
+    d = _docs(spark, sf_dir)
+    return textstats.text_pieces(d, "text", target=120).select(
+        "doc_id", "piece", "piece_text"
+    )
+
+
+def q_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boundarybox_query containment filter (cluster_utils.py:636-657)
+    over a synthesized elements table (include + exclude forms)."""
+    d = _docs(spark, sf_dir)
+    el = d.select(
+        "doc_id",
+        (F.col("doc_id") % 500).cast("double").alias("x0"),
+        ((F.col("doc_id") * 7) % 700).cast("double").alias("y0"),
+        ((F.col("doc_id") % 500) + 50.0).alias("x1"),
+        (((F.col("doc_id") * 7) % 700) + 20.0).alias("y1"),
+    )
+    inside = textops.bbox_query(el, 100.0, 100.0, 400.0, 500.0, tol=10.0)
+    outside = textops.bbox_query(el, 100.0, 100.0, 400.0, 500.0, tol=10.0,
+                                 exclude=True)
+    return inside.select("doc_id", "x0", "y0", F.lit("in").alias("side")) \
+        .unionByName(outside.select("doc_id", "x0", "y0",
+                                    F.lit("out").alias("side")))
+
+
 def q_bag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return bag.bag_stats(d, "n_chars")
@@ -501,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_text": q_full_text,
         "sections": q_sections,
         "exploded_words": q_exploded_words,
+        "text_pieces": q_text_pieces,
+        "bbox_query": q_bbox_query,
         "bag_stats": q_bag_stats,
         "events_rollup": q_events_rollup,
         "tpch_q1": q_tpch_q1,
@@ -784,6 +814,38 @@ def oracle_sql() -> dict[str, str]:
       FROM documents)
     GROUP BY word ORDER BY cnt DESC, word LIMIT 20
     """
+    text_pieces_oracle = r"""
+    WITH w AS (
+      SELECT doc_id, i - 1 AS pos, ws[i] AS w
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents),
+           unnest(range(1, len(ws) + 1)) AS r(i)
+    ), c AS (
+      SELECT doc_id, pos, w,
+             coalesce(SUM(length(w) + 1) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM w
+    )
+    SELECT doc_id, CAST(floor(cum / 120.0) AS INT) AS piece,
+           string_agg(w, ' ' ORDER BY pos) AS piece_text
+    FROM c GROUP BY 1, 2
+    """
+    bbox_oracle = """
+    WITH el AS (
+      SELECT doc_id,
+             CAST(doc_id % 500 AS DOUBLE) AS x0,
+             CAST((doc_id * 7) % 700 AS DOUBLE) AS y0,
+             (doc_id % 500) + 50.0 AS x1,
+             ((doc_id * 7) % 700) + 20.0 AS y1
+      FROM documents
+    )
+    SELECT doc_id, x0, y0, 'in' AS side FROM el
+    WHERE x0 >= 90 AND x1 <= 410 AND y0 >= 90 AND y1 <= 510
+    UNION ALL
+    SELECT doc_id, x0, y0, 'out' FROM el
+    WHERE NOT (x0 >= 90 AND x1 <= 410 AND y0 >= 90 AND y1 <= 510)
+    """
     # CAST: DuckDB sum(BIGINT) yields HUGEINT; Spark yields bigint —
     # without the cast the driver's value-hash differs on equal values
     stats_oracle = ("SELECT CAST(sum(n_chars) AS BIGINT) AS sum_n_chars, "
@@ -889,6 +951,8 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT doc_id + 20000000, doc_id FROM documents
     """,
         "exploded_words": words_oracle,
+        "text_pieces": text_pieces_oracle,
+        "bbox_query": bbox_oracle,
         "bag_stats": stats_oracle,
         "events_rollup": events_oracle,
         "tpch_q1": q1_oracle,

@@ -352,3 +352,65 @@ def extract_jsonld(raw_html: str) -> list[str]:
                     pass
             stack.extend(c for c in reversed(n.children) if isinstance(c, _Node))
     return out
+
+
+def _microdata_item(node: _Node) -> dict:
+    """One itemscope subtree -> {type, properties} (W3C microdata model;
+    nested itemscopes become nested items)."""
+    item = {"type": node.attrs.get("itemtype"), "properties": {}}
+
+    def prop_value(n: _Node):
+        if "itemscope" in n.attrs:
+            return _microdata_item(n)
+        if n.tag == "meta":
+            return n.attrs.get("content", "")
+        if n.tag in ("a", "link", "area"):
+            return n.attrs.get("href", "")
+        if n.tag in ("img", "audio", "video", "source", "embed", "iframe"):
+            return n.attrs.get("src", "")
+        if n.tag == "time":
+            return n.attrs.get("datetime") or norm_ws(_subtree_text(n))
+        return norm_ws(_subtree_text(n))
+
+    def walk(n: _Node):
+        for c in n.children:
+            if isinstance(c, str):
+                continue
+            if "itemprop" in c.attrs:
+                item["properties"].setdefault(c.attrs["itemprop"], prop_value(c))
+            if "itemscope" not in c.attrs:  # nested scopes own their props
+                walk(c)
+
+    walk(node)
+    return item
+
+
+def extract_schema(raw_html: str) -> dict:
+    """All three structured-metadata syntaxes the reference's extruct
+    call covers (extract_html.py:186-190) — json-ld, microdata, and
+    opengraph — from the stdlib DOM:
+
+      {"json-ld": [raw json strings],
+       "microdata": [{type, properties}],
+       "opengraph": {og:* property: content}}
+    """
+    root = parse_html(raw_html)
+    microdata: list[dict] = []
+    opengraph: dict[str, str] = {}
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if not isinstance(n, _Node):
+            continue
+        if "itemscope" in n.attrs and "itemprop" not in n.attrs:
+            microdata.append(_microdata_item(n))
+        if n.tag == "meta":
+            prop = (n.attrs.get("property") or "").lower()
+            if prop.startswith("og:") and "content" in n.attrs:
+                opengraph.setdefault(prop, n.attrs["content"])
+        stack.extend(c for c in reversed(n.children) if isinstance(c, _Node))
+    return {
+        "json-ld": extract_jsonld(raw_html),
+        "microdata": microdata,
+        "opengraph": opengraph,
+    }

@@ -222,6 +222,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    rotations: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from matching
     random-hyperplane LSH buckets (identical vectors always share every
@@ -232,24 +233,35 @@ def embedding_neardup_pairs(
     with b sign bits, random pairs collide with prob ~2^-b while
     near-identical vectors collide with prob ~1 — the standard
     embedding-dedup shape for a 10^12-row corpus (bucket join + AQE
-    skew splitting; add band rotations for higher recall at lower
-    thresholds)."""
-    planes = random_planes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    a, b = c.alias("a"), c.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-    )
+    skew splitting).
+
+    rotations > 1 is the recall amplifier for thresholds below ~0.99:
+    a near-dup pair at cosine c collides in one b-bit table with prob
+    (1 - acos(c)/pi)^b; with R independent plane sets the miss prob
+    compounds to (1 - p)^R.  Candidates are deduped on bare (id, id)
+    pairs BEFORE the exact-cosine verify, so each extra rotation adds
+    one bucket self-join, never re-verification."""
+    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand = None
+    for r in range(rotations):
+        planes = random_planes(dim, n_planes, seed + r)
+        b = c.select("id", lsh_bucket(F.col("v"), planes).alias("bucket"))
+        x, y = b.alias("x"), b.alias("y")
+        pairs = x.join(
+            y,
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        ).select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    if rotations > 1:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
+    va = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        cand.select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
     )

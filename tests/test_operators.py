@@ -240,3 +240,54 @@ def test_connected_components_checkpoint_dir(spark, tmp_path):
             for r in dedup.connected_components(
                 pairs, checkpoint_dir=str(tmp_path / "ckpt")).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_extract_schema_microdata_opengraph():
+    from pydoxtools_spark.functions.htmlparse import extract_schema
+
+    html = (
+        '<html><head>'
+        '<meta property="og:title" content="OG Title">'
+        '<meta property="og:image" content="https://x/img.png">'
+        '<script type="application/ld+json">{"@type": "Article"}</script>'
+        '</head><body>'
+        '<div itemscope itemtype="https://schema.org/Person">'
+        '  <span itemprop="name">Jane Doe</span>'
+        '  <img itemprop="photo" src="/jane.jpg">'
+        '  <a itemprop="url" href="https://jane.example">home</a>'
+        '  <time itemprop="birthDate" datetime="1990-01-01">Jan 1</time>'
+        '</div></body></html>'
+    )
+    out = extract_schema(html)
+    assert out["opengraph"] == {"og:title": "OG Title",
+                                "og:image": "https://x/img.png"}
+    assert len(out["json-ld"]) == 1
+    (item,) = out["microdata"]
+    assert item["type"] == "https://schema.org/Person"
+    assert item["properties"] == {
+        "name": "Jane Doe", "photo": "/jane.jpg",
+        "url": "https://jane.example", "birthDate": "1990-01-01"}
+
+
+def test_embedding_neardup_rotations_recall(spark):
+    """At moderate thresholds a single 8-bit table misses near (not
+    identical) pairs; rotations recover them without re-verification."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = [rng.normal(size=32) for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # near-dups: small perturbation (cos ~0.99 but sign flips likely
+    # on some plane among 8 bits)
+    rows += [(1000 + i, [float(x) for x in v + rng.normal(scale=0.08, size=32)])
+             for i, v in enumerate(base)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def recall(rot):
+        got = similarity.embedding_neardup_pairs(
+            e, threshold=0.95, n_planes=8, dim=32, rotations=rot)
+        pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+        return sum((i, 1000 + i) in pairs for i in range(40))
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1 and r4 >= 35  # rotations strictly help, high recall
