@@ -23,6 +23,7 @@ from pydoxtools_spark.operators import (  # noqa: E402
     bag,
     dedup,
     similarity,
+    templates,
     textops,
     textstats,
 )
@@ -420,6 +421,42 @@ def q_exploded_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_page_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageTemplateGenerator semantics (extract_textstructure.py:398-460):
+    extracted span stream rendered with {Kind_i} placeholders for
+    excluded kinds."""
+    docs_in = _as_documents_in(_docs(spark, sf_dir), _html_payload_col(), "html")
+    extracted = extract(spark, docs_in, None, parallelism=8)
+    return templates.span_template(extracted).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "template"
+    )
+
+
+def q_area_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_area_context (extract_textstructure.py:283-318): elements
+    within area bbox+margin minus elements inside the area, as a banded
+    range join over synthesized elements/areas."""
+    d = _docs(spark, sf_dir)
+    el = d.select(
+        "doc_id",
+        F.lit(0).alias("p_num"),
+        (F.col("doc_id") % 500).cast("double").alias("x0"),
+        ((F.col("doc_id") * 7) % 700).cast("double").alias("y0"),
+        ((F.col("doc_id") % 500) + 50.0).alias("x1"),
+        (((F.col("doc_id") * 7) % 700) + 20.0).alias("y1"),
+    )
+    areas = d.select(
+        "doc_id",
+        F.lit(0).alias("p_num"),
+        F.lit(0).alias("area_id"),
+        F.lit(100.0).alias("ax0"), F.lit(100.0).alias("ay0"),
+        F.lit(400.0).alias("ax1"), F.lit(500.0).alias("ay1"),
+    )
+    return textops.area_context(el, areas, margin=40.0).select(
+        "doc_id", "x0", "y0"
+    )
+
+
 def q_text_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextPieceSplitter (extract_index.py:22-73): deterministic
     word-boundary chunking by running char offset."""
@@ -531,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exploded_words": q_exploded_words,
         "text_pieces": q_text_pieces,
         "bbox_query": q_bbox_query,
+        "page_template": q_page_template,
+        "area_context": q_area_context,
         "bag_stats": q_bag_stats,
         "events_rollup": q_events_rollup,
         "tpch_q1": q_tpch_q1,
@@ -814,6 +853,27 @@ def oracle_sql() -> dict[str, str]:
       FROM documents)
     GROUP BY word ORDER BY cnt DESC, word LIMIT 20
     """
+    page_template_oracle = r"""
+    WITH d AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+               FROM documents)
+    SELECT doc_id,
+           'Doc ' || doc_id || chr(10) || chr(10) || t || chr(10) || chr(10)
+             || '{Image_2}' AS template
+    FROM d
+    """
+    area_context_oracle = """
+    WITH el AS (
+      SELECT doc_id,
+             CAST(doc_id % 500 AS DOUBLE) AS x0,
+             CAST((doc_id * 7) % 700 AS DOUBLE) AS y0,
+             (doc_id % 500) + 50.0 AS x1,
+             ((doc_id * 7) % 700) + 20.0 AS y1
+      FROM documents
+    )
+    SELECT doc_id, x0, y0 FROM el
+    WHERE (x0 >= 60 AND x1 <= 440 AND y0 >= 60 AND y1 <= 540)
+      AND NOT (x0 >= 100 AND x1 <= 400 AND y0 >= 100 AND y1 <= 500)
+    """
     text_pieces_oracle = r"""
     WITH w AS (
       SELECT doc_id, i - 1 AS pos, ws[i] AS w
@@ -953,6 +1013,8 @@ def oracle_sql() -> dict[str, str]:
         "exploded_words": words_oracle,
         "text_pieces": text_pieces_oracle,
         "bbox_query": bbox_oracle,
+        "page_template": page_template_oracle,
+        "area_context": area_context_oracle,
         "bag_stats": stats_oracle,
         "events_rollup": events_oracle,
         "tpch_q1": q1_oracle,

@@ -254,9 +254,15 @@ def _parse_content(stream: bytes):
     return texts, graphics
 
 
-def pdf_elements_from_bytes(data: bytes, doc_id: str) -> list[dict]:
+def pdf_elements_from_bytes(data: bytes, doc_id: str,
+                            emit_chars: bool = False) -> list[dict]:
     """PDF bytes -> PDF_ELEMENT-shaped rows via the strict -> lenient
-    repair ladder.  Raises PdfParseError when both rungs fail."""
+    repair ladder.  Raises PdfParseError when both rungs fail.
+
+    emit_chars additionally materializes one type='Char' row per glyph
+    (deterministic 0.5 em advance — the same heuristic the line bbox
+    uses), feeding the full-fidelity table path (table_mode='chars':
+    word rebuild / sweep-line / frozen validity tree)."""
     try:
         streams = _content_streams_strict(data)
     except PdfParseError:
@@ -276,6 +282,20 @@ def pdf_elements_from_bytes(data: bytes, doc_id: str) -> list[dict]:
                 font_color=None, mean_char_orientation=0.0,
                 linewidth=None, media_ref=None,
             ))
+            if emit_chars:
+                w = CHAR_EM * size
+                for k, ch in enumerate(text):
+                    if ch.isspace():
+                        continue  # glyph advance only; no box for spaces
+                    boxnum += 1
+                    rows.append(dict(
+                        doc_id=doc_id, p_num=p, boxnum=boxnum, linenum=0,
+                        type="Char", x0=x + k * w, y0=y,
+                        x1=x + (k + 1) * w, y1=y + size,
+                        rawtext=ch, font_name="F1", font_size=size,
+                        font_color=None, mean_char_orientation=0.0,
+                        linewidth=None, media_ref=None,
+                    ))
         for x0, y0, x1, y1 in graphics:
             boxnum += 1
             rows.append(dict(

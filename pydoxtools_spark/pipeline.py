@@ -151,9 +151,11 @@ def _parse_pdf_blobs_kernel(batches):
     cols = [f.name for f in PDF_ELEMENT.fields]
     for pdf in batches:
         rows: list[dict] = []
+        emit_chars = bool(pdf["emit_chars"].iloc[0]) if len(pdf) else False
         for ref, content in zip(pdf["ref"], pdf["content"]):
             try:
-                rows.extend(pdf_elements_from_bytes(bytes(content), doc_id=ref))
+                rows.extend(pdf_elements_from_bytes(
+                    bytes(content), doc_id=ref, emit_chars=emit_chars))
             except PdfParseError as e:
                 rows.append(dict(
                     doc_id=ref, p_num=0, boxnum=0, linenum=0,
@@ -166,15 +168,17 @@ def _parse_pdf_blobs_kernel(batches):
         yield pd.DataFrame(rows, columns=cols)
 
 
-def parse_pdf_blobs(pdf_blobs: DataFrame) -> DataFrame:
+def parse_pdf_blobs(pdf_blobs: DataFrame, emit_chars: bool = False) -> DataFrame:
     """pdf_blobs(ref string, content binary) -> pdf_elements rows.
     This is the expensive scan of the bytes path (SURVEY.md §2.1
     PDFFileLoader row): Arrow-batched, one python worker import of the
-    parser per executor (scalar-iterator form)."""
+    parser per executor (scalar-iterator form).  emit_chars feeds the
+    full-fidelity table path (extract(..., table_mode='chars'))."""
     from .schemas import PDF_ELEMENT
 
-    return pdf_blobs.select("ref", "content").mapInPandas(
-        _parse_pdf_blobs_kernel, PDF_ELEMENT)
+    return pdf_blobs.select(
+        "ref", "content", F.lit(emit_chars).alias("emit_chars")
+    ).mapInPandas(_parse_pdf_blobs_kernel, PDF_ELEMENT)
 
 
 HTML_META = StructType(
@@ -312,7 +316,8 @@ def extract(
 
         pdf_elements = spark.createDataFrame([], schema=PDF_ELEMENT)
     if pdf_blobs is not None:
-        pdf_elements = pdf_elements.unionByName(parse_pdf_blobs(pdf_blobs))
+        pdf_elements = pdf_elements.unionByName(
+            parse_pdf_blobs(pdf_blobs, emit_chars=(table_mode == "chars")))
     if page_numbers is not None:
         pdf_elements = pdf_elements.filter(F.col("p_num").isin(page_numbers))
     if max_pages is not None:

@@ -185,3 +185,46 @@ def test_pdf_bytes_failure_containment(spark):
     assert [s["text"] for s in rows["a"]["spans"]] == ["hello world"]
     assert rows["b"]["error"] and "pdf_parse_error" in rows["b"]["error"]
     assert rows["b"]["spans"] == []
+
+
+def test_pdf_bytes_to_chars_table_end_to_end(spark):
+    """Raw PDF bytes -> content-stream parse (emit_chars) -> word
+    rebuild -> sweep-line -> frozen tree -> table span: the whole
+    bytes-to-table chain through extract(table_mode='chars')."""
+    from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+    from pydoxtools_spark.functions.spantext import table_to_text
+    from pydoxtools_spark.pipeline import extract
+    from pydoxtools_spark.schemas import DOCUMENTS_IN
+
+    tx0, ty1, nr, nc, cw, ch = 72.0, 600.0, 3, 2, 90.0, 20.0
+    ty0 = ty1 - nr * ch
+    lines = [(tx0, ty1 - r * ch, tx0 + nc * cw, ty1 - r * ch)
+             for r in range(nr + 1)]
+    lines += [(tx0 + c * cw, ty0, tx0 + c * cw, ty1) for c in range(nc + 1)]
+    texts = [(72.0, 700.0, 18.0, "My Title"), (72.0, 650.0, 10.0, "body text")]
+    grid = []
+    wi = 0
+    for r in range(nr):
+        row = []
+        for c in range(nc):
+            w1, w2 = _word(wi, 2), _word(wi + 1, 3)
+            wi += 2
+            cell = f"{w1} {w2}"
+            texts.append((tx0 + c * cw + 4.0, ty1 - (r + 1) * ch + 6.0,
+                          10.0, cell))
+            row.append(cell)
+        grid.append(row)
+    data = build_tiny_pdf([{"texts": texts, "lines": lines}])
+
+    blobs = spark.createDataFrame([("media://pdfb/t", bytearray(data))],
+                                  "ref string, content binary")
+    docs = spark.createDataFrame(
+        [{"doc_id": "t", "spans": [{"kind": "pdf_bytes", "text": None,
+                                    "media_ref": "media://pdfb/t",
+                                    "offset": 0}]}], schema=DOCUMENTS_IN)
+    (row,) = extract(spark, docs, None, parallelism=2, pdf_blobs=blobs,
+                     table_mode="chars").collect()
+    assert row["error"] is None
+    got = [(s["kind"], s["text"]) for s in row["spans"]]
+    assert got == [("header", "My Title"), ("text", "body text"),
+                   ("table", table_to_text(grid))]
