@@ -485,6 +485,24 @@ def q_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.lit("out").alias("side")))
 
 
+def q_meta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta merge ({**a, **b}, right wins — document.py:375-380) via
+    map_zip_with; rendered as a sorted k=v string for hashing."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    a = F.create_map(
+        F.lit("lang"), F.lit("en"), F.lit("src"), F.lit("web"))
+    b = F.create_map(
+        F.lit("src"), F.concat(F.lit("doc_"), did), F.lit("n"), did)
+    merged = textops.merge_meta(a, b)
+    rendered = F.expr(
+        "array_join(transform(array_sort(map_keys(m)),"
+        " k -> concat(k, '=', element_at(m, k))), '|')"
+    )
+    return d.select("doc_id", merged.alias("m")).select(
+        "doc_id", rendered.alias("meta"))
+
+
 def q_bag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return bag.bag_stats(d, "n_chars")
@@ -570,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_query": q_bbox_query,
         "page_template": q_page_template,
         "area_context": q_area_context,
+        "meta_merge": q_meta_merge,
         "bag_stats": q_bag_stats,
         "events_rollup": q_events_rollup,
         "tpch_q1": q_tpch_q1,
@@ -1015,6 +1034,8 @@ def oracle_sql() -> dict[str, str]:
         "bbox_query": bbox_oracle,
         "page_template": page_template_oracle,
         "area_context": area_context_oracle,
+        "meta_merge": ("SELECT doc_id, 'lang=en|n=' || doc_id || "
+                       "'|src=doc_' || doc_id AS meta FROM documents"),
         "bag_stats": stats_oracle,
         "events_rollup": events_oracle,
         "tpch_q1": q1_oracle,

@@ -72,3 +72,32 @@ def test_num_sents_and_merges(spark):
         [({"x": "1", "y": "2"}, {"y": "9", "z": "3"})], ["m1", "m2"])
     out = mm.select(textops.merge_meta(F.col("m1"), F.col("m2")).alias("m")).collect()[0]["m"]
     assert out == {"x": "1", "y": "9", "z": "3"}
+
+
+def test_text_pieces_property_reassembly(spark):
+    """Property: pieces joined in order reconstruct the word stream, and
+    every piece starts at a word whose running offset crosses a target
+    boundary (hypothesis over word-length profiles)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pydoxtools_spark.operators.textstats import text_pieces
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=12),
+                    min_size=1, max_size=60))
+    def check(lens):
+        words = [chr(97 + i % 26) * n for i, n in enumerate(lens)]
+        text = " ".join(words)
+        df = spark.createDataFrame([("d", text)], ["doc_id", "text"])
+        rows = text_pieces(df, "text", target=30).orderBy("piece").collect()
+        assert " ".join(r["piece_text"] for r in rows) == text
+        # piece index = floor(exclusive running offset / target)
+        off = 0
+        expect = {}
+        for w in words:
+            expect.setdefault(off // 30, []).append(w)
+            off += len(w) + 1
+        assert {r["piece"]: r["piece_text"].split(" ") for r in rows} == expect
+
+    check()
