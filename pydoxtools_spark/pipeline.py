@@ -421,6 +421,51 @@ def metrics_for(extracted: DataFrame, run_id: str | None = None,
 # ------------------------------------------------------------ resumable
 
 
+def list_snapshots(out_dir: str) -> list[str]:
+    """Committed run directories, from the `_snapshots/*.json` markers.
+    Only manifested directories participate in the resume anti-join and
+    in read_extracted — unmanifested (crashed-mid-write) run dirs are
+    invisible, exactly like an uncommitted Iceberg snapshot."""
+    import glob
+    import json as _json
+
+    paths = []
+    for m in sorted(glob.glob(f"{out_dir}/_snapshots/*.json")):
+        try:
+            with open(m) as fh:
+                paths.append(_json.load(fh)["path"])
+        except (OSError, ValueError, KeyError):
+            continue  # torn marker: treat as uncommitted
+    return paths
+
+
+def _commit_snapshot(out_dir: str, run_id: str, run_path: str,
+                     docs: int) -> None:
+    """Atomic-enough snapshot commit: the marker file is created (via
+    tmp + rename) strictly AFTER the data write succeeded."""
+    import json as _json
+    import os as _os
+
+    snap_dir = f"{out_dir}/_snapshots"
+    _os.makedirs(snap_dir, exist_ok=True)
+    tmp = f"{snap_dir}/.{run_id}.json.tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"run_id": run_id, "path": run_path, "docs": docs,
+                    "committed_at": time.time()}, fh)
+    _os.replace(tmp, f"{snap_dir}/{run_id}.json")
+
+
+def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The committed view of the output table: union of manifested
+    snapshot directories only."""
+    paths = list_snapshots(out_dir)
+    if not paths:
+        from .schemas import EXTRACTED
+
+        return spark.createDataFrame([], schema=EXTRACTED)
+    return spark.read.parquet(*paths)
+
+
 def run_resumable(
     spark: SparkSession,
     documents_in: DataFrame,
@@ -442,8 +487,14 @@ def run_resumable(
     partition_id captured at write time is persisted in the output as
     the lineage column.
 
-    With Iceberg this would be `MERGE INTO` + snapshot metadata; on
-    plain parquet we append and rely on doc_id anti-join idempotence.
+    Snapshot commit protocol (the parquet stand-in for Iceberg
+    snapshots, SURVEY.md §7.3 risk 6): a run directory COUNTS as
+    committed only once its `_snapshots/<run_id>.json` marker exists —
+    the marker is written strictly after the data write succeeds, so a
+    run killed mid-write leaves an unmanifested directory that the next
+    run's anti-join IGNORES (its docs are re-extracted rather than
+    silently lost).  With Iceberg this would be `MERGE INTO` + the
+    snapshot log.
     """
     from pyspark.sql import Observation
 
@@ -453,11 +504,10 @@ def run_resumable(
     run_path = f"{spans_path}/run_id={run_id}"
 
     todo = documents_in
-    try:
-        committed = spark.read.parquet(spans_path).select("doc_id")
+    committed_paths = list_snapshots(out_dir)
+    if committed_paths:
+        committed = spark.read.parquet(*committed_paths).select("doc_id")
         todo = documents_in.join(committed, "doc_id", "left_anti")
-    except Exception:
-        pass  # first run: nothing committed yet
 
     t0 = time.monotonic()
     obs = Observation(f"extract_{run_id}")
@@ -477,6 +527,9 @@ def run_resumable(
     stats = obs.get
     n_done = int(stats["docs_processed"] or 0)
     if n_done:
+        # commit strictly after a successful non-empty data write (an
+        # empty run dir has no parquet footers and must stay invisible)
+        _commit_snapshot(out_dir, run_id, run_path, n_done)
         m = (
             spark.read.parquet(run_path)
             .groupBy("partition_id")

@@ -103,3 +103,31 @@ def test_resume_from_partial_commit(spark, corpus, tmp_path):
     m = spark.read.parquet(f"{out}/metrics")
     assert m.count() >= 2
     assert m.filter("docs_processed > 0").count() >= 2
+
+
+def test_crashed_run_dir_is_invisible_until_manifested(spark, corpus, tmp_path):
+    """A run killed mid-write leaves parquet WITHOUT a snapshot marker:
+    the resume anti-join must ignore it and re-extract its docs (no
+    silent data loss), and read_extracted must not expose it."""
+    from pydoxtools_spark.pipeline import (
+        list_snapshots, read_extracted, run_resumable)
+
+    docs_df, pdf_df, exp = corpus
+    out = str(tmp_path / "crash_out")
+    # simulate the crash: half the docs written to a run dir, no marker
+    half = docs_df.limit(N_DOCS // 2)
+    from pydoxtools_spark.pipeline import extract
+    extract(spark, half, pdf_df, parallelism=4).withColumn(
+        "partition_id", F.lit(0)).write.parquet(
+        f"{out}/extracted/run_id=deadbeef")
+    assert list_snapshots(out) == []
+    assert read_extracted(spark, out).count() == 0
+
+    # a real run now processes ALL docs (the unmanifested dir is invisible)
+    r = run_resumable(spark, docs_df, pdf_df, out, parallelism=4)
+    assert r["docs_processed"] == N_DOCS
+    committed = read_extracted(spark, out)
+    assert committed.select("doc_id").distinct().count() == N_DOCS
+    g = _spans_tuples([r.asDict(recursive=True) for r in committed.collect()])
+    w = _spans_tuples(exp)
+    assert all(g[d] == w[d] for d in w)
