@@ -57,8 +57,32 @@ from .pdflayout import _cluster_1d, _union_find_cluster, detect_table_area_boxes
 # ------------------------------------------------------------------ words
 
 
+def line_chars_to_text(texts: list[str], sizes: list[float] | None = None,
+                       size_hints: bool = False) -> str:
+    """_line2txt (extract_textstructure.py:19-42): join char texts; with
+    size_hints, insert '<s>' before a char whose font size DROPS vs the
+    previous char and '</s>' when it rises (first char never hinted).
+    Hints are opt-in exactly like the reference — its own df_words path
+    calls _line2txt with the default (no hints)."""
+    if not size_hints or sizes is None:
+        return "".join(texts)
+    out = []
+    last = 0.0
+    for i, (t, sz) in enumerate(zip(texts, sizes)):
+        hint = ""
+        if i > 0:
+            if sz < last:
+                hint = "<s>"
+            elif sz > last:
+                hint = "</s>"
+        last = sz
+        out.append(hint + t)
+    return "".join(out)
+
+
 def words_from_chars(
-    boxes: np.ndarray, texts: list[str]
+    boxes: np.ndarray, texts: list[str],
+    sizes: list[float] | None = None, size_hints: bool = False,
 ) -> tuple[np.ndarray, list[str]]:
     """Char boxes (n,4) + char texts -> word boxes + word texts.
 
@@ -92,8 +116,12 @@ def words_from_chars(
     for lab in np.unique(labels):
         m = labels == lab
         g = boxes[m]
-        order = np.argsort(g[:, 0], kind="stable")
-        txt = "".join(texts[i] for i in np.nonzero(m)[0][order]).strip()
+        order = np.nonzero(m)[0][np.argsort(g[:, 0], kind="stable")]
+        txt = line_chars_to_text(
+            [texts[i] for i in order],
+            [sizes[i] for i in order] if sizes is not None else None,
+            size_hints,
+        ).strip()
         wboxes.append((g[:, 0].min(), g[:, 1].min(), g[:, 2].max(), g[:, 3].max()))
         wtexts.append(txt)
     return np.array(wboxes, dtype=float), wtexts

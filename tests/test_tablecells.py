@@ -228,3 +228,40 @@ def test_pdf_bytes_to_chars_table_end_to_end(spark):
     got = [(s["kind"], s["text"]) for s in row["spans"]]
     assert got == [("header", "My Title"), ("text", "body text"),
                    ("table", table_to_text(grid))]
+
+
+def test_line2txt_size_hints():
+    from pydoxtools_spark.functions.tablecells import line_chars_to_text
+
+    # default: plain join (the reference's own df_words path)
+    assert line_chars_to_text(list("abc")) == "abc"
+    # hints: '<s>' on size drop, '</s>' on rise, first char never hinted
+    assert line_chars_to_text(
+        list("Tiny"), [12.0, 8.0, 8.0, 12.0], size_hints=True
+    ) == "T<s>in</s>y"
+
+
+def test_table_kernel_property_random_shapes():
+    """Property: any well-formed ruled table (random shape / cell dims /
+    word counts within the generator's validity envelope) is recovered
+    exactly by the full kernel."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=7),   # rows
+        st.integers(min_value=2, max_value=4),   # cols
+        st.sampled_from([18.0, 20.0, 24.0]),     # cell height
+        st.sampled_from([80.0, 90.0, 110.0]),    # cell width
+    )
+    def check(nr, nc, ch, cw):
+        ty1 = 40.0 + nr * ch + 400.0 / nr  # keep inside page margins
+        g, chars, texts, exp = ruled_table(
+            72.0, min(ty1, 760.0), nr, nc, cell_w=cw, cell_h=ch)
+        tables = extract_page_tables_full(
+            np.array(g, dtype=float), np.array(chars, dtype=float), texts)
+        assert len(tables) == 1
+        assert tables[0][1] == exp
+
+    check()
