@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pydoxtools_spark import dispatch  # noqa: E402
 from pydoxtools_spark.operators import (  # noqa: E402
     bag,
+    curation,
     dedup,
     similarity,
     templates,
@@ -485,6 +486,27 @@ def q_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.lit("out").alias("side")))
 
 
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over text with planted emails/IPs/phones."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"), F.lit(" contact: user"), did,
+        F.lit("@example.com or +1 555-000-"),
+        F.lpad(F.col("doc_id") % 10000, 4, "0"),
+        F.lit(" at 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+    )
+    return d.select("doc_id", curation.scrub_pii(planted).alias("clean"))
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe deterministic train/val/test hash split."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    return curation.deterministic_split(d, val_pct=10, test_pct=5).select(
+        "doc_id", "bucket", "split"
+    )
+
+
 def q_meta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """meta merge ({**a, **b}, right wins — document.py:375-380) via
     map_zip_with; rendered as a sorted k=v string for hashing."""
@@ -589,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_template": q_page_template,
         "area_context": q_area_context,
         "meta_merge": q_meta_merge,
+        "scrub_pii": q_scrub_pii,
+        "dataset_split": q_dataset_split,
         "bag_stats": q_bag_stats,
         "events_rollup": q_events_rollup,
         "tpch_q1": q_tpch_q1,
@@ -872,6 +896,23 @@ def oracle_sql() -> dict[str, str]:
       FROM documents)
     GROUP BY word ORDER BY cnt DESC, word LIMIT 20
     """
+    from pydoxtools_spark.operators.curation import (
+        scrub_pii_sql, split_bucket_sql)
+
+    planted = ("(text || ' contact: user' || doc_id || '@example.com or "
+               "+1 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+               " || ' at 10.0.0.' || (doc_id % 255))")
+    scrub_oracle = (
+        f"SELECT doc_id, {scrub_pii_sql(planted)} AS clean FROM documents"
+    )
+    bkt = split_bucket_sql("doc_id")
+    split_oracle = f"""
+    SELECT doc_id, {bkt} AS bucket,
+           CASE WHEN {bkt} < 10 THEN 'val'
+                WHEN {bkt} < 15 THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """
     page_template_oracle = r"""
     WITH d AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
                FROM documents)
@@ -1036,6 +1077,8 @@ def oracle_sql() -> dict[str, str]:
         "area_context": area_context_oracle,
         "meta_merge": ("SELECT doc_id, 'lang=en|n=' || doc_id || "
                        "'|src=doc_' || doc_id AS meta FROM documents"),
+        "scrub_pii": scrub_oracle,
+        "dataset_split": split_oracle,
         "bag_stats": stats_oracle,
         "events_rollup": events_oracle,
         "tpch_q1": q1_oracle,

@@ -291,3 +291,29 @@ def test_embedding_neardup_rotations_recall(spark):
 
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1 and r4 >= 35  # rotations strictly help, high recall
+
+
+def test_curation_scrub_and_split(spark):
+    from pydoxtools_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-y.co.uk, ip 192.168.0.1, tel +44 20 7946 0958 ok"),
+         (2, "no pii here"), (3, "v1.2.3.4.5 is a version")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", curation.scrub_pii(F.col("text")).alias("c")).collect()}
+    assert got[1] == "mail <EMAIL>, ip <IP>, tel <PHONE> ok"
+    assert got[2] == "no pii here"
+
+    # split: deterministic across repartitionings, proportions sane
+    ids = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in
+          curation.deterministic_split(ids, val_pct=10, test_pct=5).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in
+          curation.deterministic_split(ids.repartition(13),
+                                       val_pct=10, test_pct=5).collect()}
+    assert s1 == s2
+    n = len(s1)
+    frac_val = sum(v == "val" for v in s1.values()) / n
+    frac_test = sum(v == "test" for v in s1.values()) / n
+    assert 0.07 < frac_val < 0.13 and 0.03 < frac_test < 0.07
