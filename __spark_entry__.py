@@ -486,6 +486,13 @@ def q_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.lit("out").alias("side")))
 
 
+def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing embeddings (sparse form): the deterministic
+    stand-in for calculate_string_embeddings (nlp_utils.py:403-414)."""
+    d = _docs(spark, sf_dir)
+    return similarity.hash_embeddings_sparse(d, dim=64)
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over text with planted emails/IPs/phones."""
     d = _docs(spark, sf_dir)
@@ -613,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_merge": q_meta_merge,
         "scrub_pii": q_scrub_pii,
         "dataset_split": q_dataset_split,
+        "hash_embeddings": q_hash_embeddings,
         "bag_stats": q_bag_stats,
         "events_rollup": q_events_rollup,
         "tpch_q1": q_tpch_q1,
@@ -1079,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
                        "'|src=doc_' || doc_id AS meta FROM documents"),
         "scrub_pii": scrub_oracle,
         "dataset_split": split_oracle,
+        "hash_embeddings": similarity.hash_embeddings_sparse_sql(64),
         "bag_stats": stats_oracle,
         "events_rollup": events_oracle,
         "tpch_q1": q1_oracle,

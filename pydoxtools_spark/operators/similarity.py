@@ -139,6 +139,84 @@ def lsh_topk(
     )
 
 
+def hash_embeddings_sparse(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           dim: int = 64) -> DataFrame:
+    """Feature-hashing text embeddings, sparse form (id, bucket, val):
+    every word occurrence adds ±1 to bucket md5(word)%dim, sign from the
+    next md5 hex digit's low bit — the hashing-trick stand-in for the
+    reference's calculate_string_embeddings (nlp_utils.py:403-414; the
+    HF model is a pandas-UDF plug point, absent from this sandbox).
+    Deterministic, pure Spark SQL, exact DuckDB twin (integer sums)."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                           r"\s+", " "), " ")).alias("w"),
+    )
+    h = F.md5(F.col("w"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % dim
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        words.select("doc_id", bucket.cast("int").alias("bucket"),
+                     sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+def hash_embeddings_sparse_sql(dim: int = 64) -> str:
+    """DuckDB twin over the `documents` view."""
+    return rf"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % {dim} AS INT) AS bucket,
+        CASE WHEN ('0x' || substr(md5(w), 9, 1))::INT % 2 = 0
+             THEN 1 ELSE -1 END AS s
+      FROM w
+    )
+    SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS val
+    FROM h GROUP BY 1, 2 HAVING sum(s) != 0
+    """
+
+
+def hash_embeddings(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", dim: int = 64) -> DataFrame:
+    """Dense L2-normalized form (id, embedding array<double>) — plugs
+    straight into embedding_neardup_pairs / knn_graph_lsh / lsh_topk,
+    closing the text -> embed -> ANN/near-dup chain without any model
+    dependency."""
+    sparse = hash_embeddings_sparse(df, text_col, id_col, dim)
+    dense = (
+        sparse.groupBy("doc_id")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("bucket"), F.collect_list("val")
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {dim - 1}),"
+                " i -> cast(coalesce(element_at(m, i), 0) as double))"
+            ).alias("v"),
+        )
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    return dense.select(
+        "doc_id",
+        F.transform(
+            "v", lambda x: x / F.when(norm > 0, norm).otherwise(1.0)
+        ).alias("embedding"),
+    )
+
+
 def knn_graph(corpus: DataFrame, k: int = 4, max_dist: float = 0.2,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Similarity graph edges: each vector's k nearest cosine neighbors

@@ -317,3 +317,22 @@ def test_curation_scrub_and_split(spark):
     frac_val = sum(v == "val" for v in s1.values()) / n
     frac_test = sum(v == "test" for v in s1.values()) / n
     assert 0.07 < frac_val < 0.13 and 0.03 < frac_test < 0.07
+
+
+def test_hash_embeddings_neardup_chain(spark):
+    """text -> feature-hash embeddings -> LSH near-dup: exact duplicate
+    docs land at cosine 1.0 with recall 1 (identical vectors share
+    every bucket)."""
+    base = [(i, f"some document body {i} with shared words and tail{i}")
+            for i in range(30)]
+    clones = [(100 + i, t) for i, t in base[:10]]
+    df = spark.createDataFrame(base + clones, ["doc_id", "text"])
+    emb = similarity.hash_embeddings(df, dim=64)
+    # dense vectors are unit-norm
+    import math
+    v0 = emb.filter(F.col("doc_id") == 0).collect()[0]["embedding"]
+    assert math.isclose(sum(x * x for x in v0), 1.0, rel_tol=1e-9)
+    pairs = similarity.embedding_neardup_pairs(
+        emb, threshold=0.9999, id_col="doc_id", dim=64)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, 100 + i) for i in range(10)} <= got
