@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pydoxtools_spark import dispatch  # noqa: E402
 from pydoxtools_spark.operators import (  # noqa: E402
     bag,
+    classify,
     curation,
     dedup,
     similarity,
@@ -28,6 +29,11 @@ from pydoxtools_spark.operators import (  # noqa: E402
     textops,
     textstats,
 )
+
+PAGE_PROFILES = {
+    "data": ["data", "table", "query", "row", "column", "engine"],
+    "commerce": ["price", "total", "invoice", "customer", "order"],
+}
 from pydoxtools_spark.pipeline import extract  # noqa: E402
 from pydoxtools_spark.schemas import DOCUMENTS_IN  # noqa: E402
 
@@ -486,6 +492,31 @@ def q_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.lit("out").alias("side")))
 
 
+def q_text_block_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextBlockClassifier stand-in (extract_classes.py:78-103 contract):
+    address detection over blocks, addresses planted in every 4th doc."""
+    d = _docs(spark, sf_dir)
+    block = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("text"), F.lit(" 221B Baker Street, 12345 London")),
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.when(classify.is_address(block), "address").otherwise("text")
+        .alias("label"),
+    )
+
+
+def q_page_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageClassifier stand-in (extract_classes.py:29-75 contract):
+    keyword-profile argmax labels."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        classify.classify_profile(F.col("text"), PAGE_PROFILES).alias("label"),
+    )
+
+
 def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing embeddings (sparse form): the deterministic
     stand-in for calculate_string_embeddings (nlp_utils.py:403-414)."""
@@ -621,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii": q_scrub_pii,
         "dataset_split": q_dataset_split,
         "hash_embeddings": q_hash_embeddings,
+        "text_block_class": q_text_block_class,
+        "page_class": q_page_class,
         "bag_stats": q_bag_stats,
         "events_rollup": q_events_rollup,
         "tpch_q1": q_tpch_q1,
@@ -1088,6 +1121,18 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": scrub_oracle,
         "dataset_split": split_oracle,
         "hash_embeddings": similarity.hash_embeddings_sparse_sql(64),
+        "text_block_class": (
+            "SELECT doc_id, CASE WHEN "
+            + classify.is_address_sql(
+                "(CASE WHEN doc_id % 4 = 0 THEN text || "
+                "' 221B Baker Street, 12345 London' ELSE text END)")
+            + " THEN 'address' ELSE 'text' END AS label FROM documents"
+        ),
+        "page_class": (
+            "SELECT doc_id, "
+            + classify.classify_profile_sql("text", PAGE_PROFILES)
+            + " AS label FROM documents"
+        ),
         "bag_stats": stats_oracle,
         "events_rollup": events_oracle,
         "tpch_q1": q1_oracle,

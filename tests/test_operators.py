@@ -336,3 +336,26 @@ def test_hash_embeddings_neardup_chain(spark):
         emb, threshold=0.9999, id_col="doc_id", dim=64)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert {(i, 100 + i) for i in range(10)} <= got
+
+
+def test_classify_address_and_profiles(spark):
+    from pydoxtools_spark.operators import classify
+
+    df = spark.createDataFrame(
+        [(1, "Acme GmbH, 42 Market Street, 10117 Berlin"),
+         (2, "just a paragraph about engines"),
+         (3, "call me at 12345"),            # zip-like only: 1 feature
+         (4, "12 Elm Road")],                # house number + street: 2
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r["a"] for r in df.select(
+        "doc_id", classify.is_address(F.col("text")).alias("a")).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}
+
+    prof = {"fruit": ["apple", "pear"], "metal": ["iron", "zinc"]}
+    lab = {r["doc_id"]: r["l"] for r in df.select(
+        "doc_id",
+        classify.classify_profile(
+            F.concat(F.col("text"), F.when(F.col("doc_id") == 2,
+                                           " apple apple iron")
+                     .otherwise(F.lit(""))), prof).alias("l")).collect()}
+    assert lab[2] == "fruit" and lab[1] == "other"
