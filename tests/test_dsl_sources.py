@@ -95,3 +95,22 @@ def test_decode_ladder_non_utf8(spark):
     got = {r["t"] for r in df.select(
         loaders.decode_text_col(F.col("content")).alias("t")).collect()}
     assert got == {"café", "café latin1"}
+
+
+def test_sql_table_loader_partitioned_roundtrip(spark, tmp_path):
+    """SQLTableLoader semantics against embedded Derby (the JDBC engine
+    Spark ships): partitioned range read on the index column."""
+    from pydoxtools_spark.sources import loaders
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.range(0, 120).select(
+        F.col("id"), F.concat(F.lit("doc "), F.col("id").cast("string")).alias("txt"))
+    src.write.jdbc(url, "docs", properties=props)
+
+    got = loaders.load_sql_table(
+        spark, url, "docs", index_column="id", num_partitions=4,
+        lower=0, upper=120, properties=props)
+    assert got.rdd.getNumPartitions() == 4
+    rows = {r["ID"] if "ID" in r else r["id"]: r[1] for r in got.collect()}
+    assert len(rows) == 120 and rows[7] == "doc 7"

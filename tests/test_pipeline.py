@@ -131,3 +131,26 @@ def test_crashed_run_dir_is_invisible_until_manifested(spark, corpus, tmp_path):
     g = _spans_tuples([r.asDict(recursive=True) for r in committed.collect()])
     w = _spans_tuples(exp)
     assert all(g[d] == w[d] for d in w)
+
+
+def test_extract_edge_inputs(spark):
+    """Degenerate inputs: empty spans array, unknown input kind, and a
+    null html payload all yield empty span output (sentinel path) and
+    never an error/task failure."""
+    from pydoxtools_spark.pipeline import extract
+    from pydoxtools_spark.schemas import DOCUMENTS_IN
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "empty", "spans": []},
+         {"doc_id": "unknown", "spans": [
+             {"kind": "future_kind", "text": "x", "media_ref": None,
+              "offset": 0}]},
+         {"doc_id": "nullhtml", "spans": [
+             {"kind": "html", "text": None, "media_ref": None,
+              "offset": 0}]}],
+        schema=DOCUMENTS_IN)
+    rows = {r["doc_id"]: r for r in
+            extract(spark, docs, None, parallelism=2).collect()}
+    assert set(rows) == {"empty", "unknown", "nullhtml"}
+    for r in rows.values():
+        assert r["spans"] == [] and r["error"] is None
