@@ -255,6 +255,29 @@ def _pdf_branch(spans: DataFrame, pdf_elements: DataFrame,
     )
 
 
+_KNOWN_IN_KINDS = (
+    IN_KIND_TEXT, IN_KIND_HTML, IN_KIND_PDF_REF, IN_KIND_PDF_BYTES,
+    IN_KIND_IMAGE_REF,
+)
+
+
+def _unknown_kind_branch(spans: DataFrame) -> DataFrame:
+    """Input spans of a kind no branch handles become contained error
+    rows (error column + parse_failures metric) — a silently dropped
+    payload at 10^12-doc scale is invisible data loss; an error row is
+    auditable."""
+    return spans.filter(~F.col("in_kind").isin(*_KNOWN_IN_KINDS)).select(
+        "doc_id",
+        "span_idx",
+        F.lit(0.0).alias("ord1"),
+        F.lit(0.0).alias("ord2"),
+        F.lit(0.0).alias("ord3"),
+        F.lit(KIND_ERROR).alias("kind"),
+        F.concat(F.lit("unsupported input kind: "), F.col("in_kind")).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+
+
 def _sentinel_branch(documents_in: DataFrame) -> DataFrame:
     """One marker row per document so docs whose spans produce no
     output still appear (empty array) WITHOUT a final join: sentinels
@@ -340,6 +363,7 @@ def extract(
         .unionByName(_html_branch(spans, parallelism))
         .unionByName(_pdf_branch(spans, pdf_elements, table_mode))
         .unionByName(_image_branch(spans))
+        .unionByName(_unknown_kind_branch(spans))
         .unionByName(_sentinel_branch(documents_in))
     )
 

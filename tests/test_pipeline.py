@@ -134,9 +134,9 @@ def test_crashed_run_dir_is_invisible_until_manifested(spark, corpus, tmp_path):
 
 
 def test_extract_edge_inputs(spark):
-    """Degenerate inputs: empty spans array, unknown input kind, and a
-    null html payload all yield empty span output (sentinel path) and
-    never an error/task failure."""
+    """Degenerate inputs: empty spans array and a null html payload
+    yield empty span output with no error; an UNKNOWN input kind is a
+    contained error (auditable, not silent data loss)."""
     from pydoxtools_spark.pipeline import extract
     from pydoxtools_spark.schemas import DOCUMENTS_IN
 
@@ -152,5 +152,7 @@ def test_extract_edge_inputs(spark):
     rows = {r["doc_id"]: r for r in
             extract(spark, docs, None, parallelism=2).collect()}
     assert set(rows) == {"empty", "unknown", "nullhtml"}
-    for r in rows.values():
-        assert r["spans"] == [] and r["error"] is None
+    for d in ("empty", "nullhtml"):
+        assert rows[d]["spans"] == [] and rows[d]["error"] is None
+    assert rows["unknown"]["spans"] == []
+    assert "unsupported input kind: future_kind" in rows["unknown"]["error"]
