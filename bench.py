@@ -145,20 +145,35 @@ def scaling_evidence(n_docs: int | None = None, lo=2, hi=8,
     # than a real plan change).  Common case stays one rep (~7 min
     # total bench); the noisy case pays ~2 extra minutes for accuracy.
     his = [_scale_point_subprocess(hi, shuffle, corpus_dir)]
-    lo_pt = _scale_point_subprocess(lo, shuffle, corpus_dir)
-    extra = hi_reps - 1
-    if extra <= 0 and (lo_pt["sec"] / his[0]["sec"]) / (hi / lo) < 0.85:
-        extra = 1
+    los = [_scale_point_subprocess(lo, shuffle, corpus_dir)]
+    ratio = hi / lo
+
+    def _eff():
+        return (min(r["sec"] for r in los) / min(r["sec"] for r in his)) / ratio
+
+    # drift correction is TWO-SIDED: a drift-hit hi point deflates the
+    # efficiency (re-measure hi, take min); a drift-hit LO point
+    # inflates it — a single-shot eff > 1.0 is physically implausible
+    # (adding cores cannot beat linear), so re-measure lo and min it
+    # too.  Reps > 1 always-brackets both points.
+    extra_hi = hi_reps - 1
+    if extra_hi <= 0 and _eff() < 0.85:
+        extra_hi = 1
     his += [_scale_point_subprocess(hi, shuffle, corpus_dir)
-            for _ in range(extra)]
-    out = {lo: lo_pt, hi: min(his, key=lambda r: r["sec"])}
-    eff = (out[lo]["sec"] / out[hi]["sec"]) / (hi / lo)
-    return {"cores_lo": lo, "t_lo_sec": out[lo]["sec"],
-            "cores_hi": hi, "t_hi_sec": out[hi]["sec"],
-            "docs": out[hi]["docs"],
-            "docs_per_sec_hi": out[hi]["docs_per_sec"],
-            "hi_reps": 1 + extra,
-            "efficiency": round(eff, 3)}
+            for _ in range(extra_hi)]
+    extra_lo = hi_reps - 1
+    if extra_lo <= 0 and _eff() > 1.0:
+        extra_lo = 1
+    los += [_scale_point_subprocess(lo, shuffle, corpus_dir)
+            for _ in range(extra_lo)]
+    lo_pt = min(los, key=lambda r: r["sec"])
+    hi_pt = min(his, key=lambda r: r["sec"])
+    return {"cores_lo": lo, "t_lo_sec": lo_pt["sec"],
+            "cores_hi": hi, "t_hi_sec": hi_pt["sec"],
+            "docs": hi_pt["docs"],
+            "docs_per_sec_hi": hi_pt["docs_per_sec"],
+            "hi_reps": len(his), "lo_reps": len(los),
+            "efficiency": round(_eff(), 3)}
 
 
 def _scale_point_subprocess(cores: int, shuffle: int, corpus_dir: str) -> dict:

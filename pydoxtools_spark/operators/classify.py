@@ -18,8 +18,22 @@ Everything is pure Spark SQL with *_sql DuckDB twins.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def _profile_alternation(words: list[str]) -> str:
+    """Keyword list -> regex alternation; each keyword is re.escape-d so
+    metacharacters match literally on BOTH engines (Java regex and RE2
+    treat escaped punctuation identically)."""
+    return r"\b(" + "|".join(re.escape(w) for w in words) + r")\b"
+
+
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal with '' doubling (DuckDB)."""
+    return "'" + s.replace("'", "''") + "'"
 
 ADDR_HOUSE_REGEX = r"\b\d{1,5}[a-dA-D]?\s+[A-Z][a-z]+"
 ADDR_STREET_REGEX = (
@@ -65,7 +79,7 @@ def classify_profile(col: Column, profiles: dict[str, list[str]],
     scores = [
         F.struct(
             F.size(F.regexp_extract_all(
-                lowered, F.lit(r"\b(" + "|".join(ws) + r")\b"), 0)).alias("hits"),
+                lowered, F.lit(_profile_alternation(ws)), 0)).alias("hits"),
             F.lit(label).alias("label"),
         )
         for label, ws in profiles.items()
@@ -76,9 +90,13 @@ def classify_profile(col: Column, profiles: dict[str, list[str]],
 
 def classify_profile_sql(expr: str, profiles: dict[str, list[str]],
                          default: str = "other") -> str:
-    """DuckDB twin with the SAME tie-break ladder as lang_id_sql."""
+    """DuckDB twin with the SAME tie-break ladder as lang_id_sql.
+    Keywords are re.escape-d and the pattern/label literals are
+    ''-escaped, so metacharacters or quotes in caller-supplied profiles
+    cannot produce a wrong pattern or malformed SQL."""
     hits = {
-        label: f"len(regexp_extract_all(lower({expr}), '\\b({'|'.join(ws)})\\b'))"
+        label: ("len(regexp_extract_all(lower(" + expr + "), "
+                + _sql_str(_profile_alternation(ws)) + "))")
         for label, ws in profiles.items()
     }
     labels = sorted(hits, reverse=True)
@@ -88,7 +106,7 @@ def classify_profile_sql(expr: str, profiles: dict[str, list[str]],
             f"{hits[lb]} >= {hits[o]}" if o < lb else f"{hits[lb]} > {hits[o]}"
             for o in labels if o != lb
         )
-        + f" THEN '{lb}'"
+        + f" THEN {_sql_str(lb)}"
         for lb in labels
     )
-    return f"CASE {cond} ELSE '{default}' END"
+    return f"CASE {cond} ELSE {_sql_str(default)} END"

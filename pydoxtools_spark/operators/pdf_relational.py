@@ -138,15 +138,13 @@ def _table_kernel_chars(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 
-def _grid_tables(el, lines, pages_per_bucket: int):
+def _grid_tables(graphics, lines, pages_per_bucket: int):
     """Ruled-grid table path (relational): graphics kernel finds
     areas+borders; cell assignment, grid render and validity run as
-    whole-stage-codegen Spark SQL.  Returns (tables ITEM rows,
-    valid_areas for the covered-box anti-join)."""
-    graphics = el.filter(F.col("type") == "Graphic").select(
-        "doc_id", "p_num", "x0", "y0", "x1", "y1",
-        (F.col("p_num") / pages_per_bucket).cast("int").alias("page_bucket"),
-    )
+    whole-stage-codegen Spark SQL.  `graphics` carries the Graphic rows
+    of the pages routed to this path (doc_id, p_num, x0..y1,
+    page_bucket).  Returns (tables ITEM rows, valid_areas for the
+    covered-box anti-join)."""
     # areas is consumed three times (cell assignment, grid metadata,
     # covered-box anti-join); persist so the python kernel runs once.
     # Size is bounded: a few rows per page WITH a ruled table.
@@ -265,17 +263,20 @@ def pdf_layout_items(pdf_elements: DataFrame,
     """pdf_elements -> unordered item rows (ITEM schema).  The caller
     (pipeline._pdf_branch) attaches reading-order sort keys.
 
-    table_mode:
-      "grid"  — ruled-grid path: page-local numpy finds areas+borders,
-                cell assignment / render / validity stay relational
-                (whole-stage codegen).  For element tables without
-                char-level data.
-      "chars" — full-fidelity path: the per-(doc,page-bucket) kernel
-                runs the reference pipeline on Graphic+Char rows (word
-                rebuild, sweep-line cells, spanning grid, frozen
-                validity tree) and emits finished tables.  Requires
-                type='Char' rows in pdf_elements.
+    Table-path routing is PER (doc, page), mirroring the canonical
+    single-process oracle (functions/pdflayout.extract_pdf_items:383-407):
+    pages carrying type='Char' rows take the full-fidelity chars kernel
+    (word rebuild, sweep-line cells, spanning grid, frozen validity
+    tree), every other page runs the relational ruled-grid path
+    (whole-stage codegen).  On a mixed corpus both engines therefore
+    select identically per page — a global mode switch would silently
+    diverge (ignore Char rows, or drop char-less ruled pages).
+
+    table_mode is kept for API compatibility but no longer switches the
+    layout path; its only effect is upstream (pipeline.extract passes
+    emit_chars to the blob parser when table_mode='chars').
     """
+    del table_mode  # routing is per-page; see docstring
     from pyspark import StorageLevel
 
     # five consumers below (text lines x2, graphics, size_cuts, images)
@@ -307,32 +308,55 @@ def pdf_layout_items(pdf_elements: DataFrame,
         .agg((F.median("font_size") * F.lit(TITLE_SIZE_RATIO)).alias("size_cut"))
     )
 
-    if table_mode == "chars":
-        gc = el.filter(F.col("type").isin("Graphic", "Char")).select(
+    # ---------------- per-page path routing: the (doc, page) set that
+    # carries Char rows.  Tiny relative to el (one row per char-bearing
+    # page) — AQE turns the semi/anti joins below into broadcast joins
+    # at runtime, so routing adds no extra shuffle of the element bulk.
+    char_pages = (
+        el.filter(F.col("type") == "Char").select("doc_id", "p_num").distinct()
+    )
+
+    # chars kernel: Graphic + Char rows of char-bearing pages only
+    gc = (
+        el.filter(F.col("type").isin("Graphic", "Char"))
+        .join(char_pages, ["doc_id", "p_num"], "left_semi")
+        .select(
             "doc_id", "p_num", "type", "x0", "y0", "x1", "y1", "rawtext",
             (F.col("p_num") / pages_per_bucket).cast("int").alias("page_bucket"),
         )
-        # consumed twice (table items + covered-box anti-join): persist
-        # so the python kernel runs once per page bucket
-        tbl = gc.groupBy("doc_id", "page_bucket").applyInPandas(
-            _table_kernel_chars, TABLE_FULL
-        ).persist()
-        tables = tbl.select(
-            F.col("doc_id").alias("ref"),
-            "p_num",
-            "y0",
-            "x0",
-            F.lit(KIND_TABLE).alias("kind"),
-            "text",
-            F.lit(None).cast("string").alias("media_ref"),
+    )
+    # consumed twice (table items + covered-box anti-join): persist
+    # so the python kernel runs once per page bucket
+    tbl = gc.groupBy("doc_id", "page_bucket").applyInPandas(
+        _table_kernel_chars, TABLE_FULL
+    ).persist()
+    tables_chars = tbl.select(
+        F.col("doc_id").alias("ref"),
+        "p_num",
+        "y0",
+        "x0",
+        F.lit(KIND_TABLE).alias("kind"),
+        "text",
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+    valid_chars = tbl.select(
+        "doc_id", "p_num",
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+    )
+
+    # grid path: Graphic rows of the remaining (char-less) pages
+    graphics_grid = (
+        el.filter(F.col("type") == "Graphic")
+        .join(char_pages, ["doc_id", "p_num"], "left_anti")
+        .select(
+            "doc_id", "p_num", "x0", "y0", "x1", "y1",
+            (F.col("p_num") / pages_per_bucket).cast("int").alias("page_bucket"),
         )
-        valid_areas = tbl.select(
-            "doc_id", "p_num",
-            F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
-            F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
-        )
-    else:
-        tables, valid_areas = _grid_tables(el, lines, pages_per_bucket)
+    )
+    tables_grid, valid_grid = _grid_tables(graphics_grid, lines, pages_per_bucket)
+    tables = tables_chars.unionByName(tables_grid)
+    valid_areas = valid_chars.unionByName(valid_grid)
 
 
     # ---------------- text boxes: hash-agg grouping, JVM only

@@ -369,17 +369,29 @@ def extract(
 
     # running char offset over the doc's reading-ordered span stream;
     # error spans contribute 0 and are routed to the error column.
-    # `tb` = xxhash64(kind, text, media_ref) makes the order TOTAL with
-    # one cheap numeric key: the window and the array_sort below sort by
-    # the identical (span_idx, ord1-3, tb) prefix, so offsets always
-    # agree with the emitted span order, even for rows tying on all four
-    # layout keys.  (Rows tying on tb too are identical in every emitted
-    # field — any order yields the same output.)  Chosen over (a) full
-    # kind/text/media_ref tie-breaker columns — string sort keys,
-    # measured +13% on the 8-core scale point — and (b) HOF prefix-sums
-    # over the assembled array — O(n^2) per doc, measured +15% on the
-    # 2-core point from ~2000-span giant docs.
-    out = out.withColumn("tb", F.xxhash64("kind", "text", "media_ref"))
+    # `tb` = xxhash64 over null-disambiguated (kind, text, media_ref)
+    # makes the order TOTAL with one cheap numeric key: the window and
+    # the array_sort below sort by the identical (span_idx, ord1-3, tb)
+    # prefix, so offsets always agree with the emitted span order, even
+    # for rows tying on all four layout keys.  xxhash64 SKIPS null
+    # inputs, so the nullable columns are coalesced to distinct
+    # per-column sentinels — otherwise (text='x', media_ref=NULL) and
+    # (text=NULL, media_ref='x') would hash identically and the window
+    # order between them would be nondeterministic while array_sort
+    # breaks the tie on kind/text.  (Rows tying on tb too are identical
+    # in every emitted field — any order yields the same output.)
+    # Chosen over (a) full kind/text/media_ref tie-breaker columns —
+    # string sort keys, measured +13% on the 8-core scale point — and
+    # (b) HOF prefix-sums over the assembled array — O(n^2) per doc,
+    # measured +15% on the 2-core point from ~2000-span giant docs.
+    out = out.withColumn(
+        "tb",
+        F.xxhash64(
+            "kind",
+            F.coalesce(F.col("text"), F.lit("\x00t")),
+            F.coalesce(F.col("media_ref"), F.lit("\x00m")),
+        ),
+    )
     order_cols = [F.col(c) for c in ("span_idx", "ord1", "ord2", "ord3", "tb")]
     w = (
         Window.partitionBy("doc_id")
@@ -574,6 +586,14 @@ def run_resumable(
             )
         )
         m.write.mode("append").parquet(metrics_path)
+    else:
+        # no-op resume: the run dir is empty and uncommitted by
+        # construction — remove it so repeated resumes don't litter
+        # extracted/ with unmanifested dirs (direct parent-dir reads of
+        # the output tree stay clean)
+        import shutil
+
+        shutil.rmtree(run_path, ignore_errors=True)
     return {"run_id": run_id, "docs_processed": n_done,
             "parse_failures": int(stats["parse_failures"] or 0),
             "span_count": int(stats["span_count"] or 0),

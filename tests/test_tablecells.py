@@ -161,6 +161,76 @@ def test_chars_mode_spark_end_to_end(spark):
     assert got == want
 
 
+def test_mixed_corpus_per_page_routing(spark):
+    """Per-(doc,page) table-path routing mirrors the oracle
+    (extract_pdf_items:383-407): one doc whose page 0 carries Char rows
+    (full-fidelity kernel) while page 1 is an element-only ruled grid
+    (relational grid path).  A global table_mode would lose one of the
+    two tables; the Spark output must match the single-process oracle
+    span-for-span."""
+    import pandas as pd
+
+    from pydoxtools_spark.functions.pdflayout import extract_pdf_spans
+    from pydoxtools_spark.pipeline import extract
+    from pydoxtools_spark.schemas import DOCUMENTS_IN, PDF_ELEMENT
+
+    ref = "media://pdf/mixed_0"
+    rows = []
+    boxnum = 0
+
+    def el(**kw):
+        nonlocal boxnum
+        boxnum += 1
+        base = dict(
+            doc_id=ref, p_num=0, boxnum=boxnum, linenum=0, type="Text",
+            x0=0.0, y0=0.0, x1=0.0, y1=0.0, rawtext=None,
+            font_name="Helv", font_size=10.0, font_color="#000",
+            mean_char_orientation=0.0, linewidth=None, media_ref=None,
+        )
+        base.update(kw)
+        rows.append(base)
+
+    # page 0: char-level ruled table (chars kernel path)
+    g, chars, texts, _exp = ruled_table(72.0, 700.0, 4, 2)
+    for (x0, y0, x1, y1) in g:
+        el(p_num=0, type="Graphic", x0=x0, y0=y0, x1=x1, y1=y1, linewidth=1.0)
+    for (x0, y0, x1, y1), t in zip(chars, texts):
+        el(p_num=0, type="Char", x0=x0, y0=y0, x1=x1, y1=y1, rawtext=t)
+    el(p_num=0, x0=72.0, y0=740.0, x1=300.0, y1=752.0, rawtext="page zero intro")
+
+    # page 1: element-only ruled grid (grid path; cell_h=28 clears the
+    # min-area filter) + a text box
+    nr, nc, cw, ch = 3, 2, 90.0, 28.0
+    tx0, ty1 = 72.0, 600.0
+    ty0 = ty1 - nr * ch
+    for r in range(nr + 1):
+        y = ty1 - r * ch
+        el(p_num=1, type="Graphic", x0=tx0, y0=y, x1=tx0 + nc * cw, y1=y,
+           linewidth=1.0)
+    for c in range(nc + 1):
+        x = tx0 + c * cw
+        el(p_num=1, type="Graphic", x0=x, y0=ty0, x1=x, y1=ty1, linewidth=1.0)
+    for r in range(nr):
+        for c in range(nc):
+            t = _word(r * nc + c, 4) + " " + _word(r * nc + c + 7, 3)
+            el(p_num=1, x0=tx0 + c * cw + 4.0, y0=ty1 - (r + 1) * ch + 7.0,
+               x1=tx0 + (c + 1) * cw - 4.0, y1=ty1 - (r + 1) * ch + 17.0,
+               rawtext=t)
+    el(p_num=1, x0=72.0, y0=700.0, x1=300.0, y1=712.0, rawtext="page one intro")
+
+    want = [(k, t, r) for k, t, r in extract_pdf_spans(pd.DataFrame(rows))]
+    assert sum(1 for k, _t, _r in want if k == "table") == 2  # both paths fired
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "mixed", "spans": [
+            {"kind": "pdf_ref", "text": None, "media_ref": ref, "offset": 0}]}],
+        schema=DOCUMENTS_IN)
+    pdf_df = spark.createDataFrame(rows, schema=PDF_ELEMENT)
+    (out,) = extract(spark, docs, pdf_df, parallelism=2).collect()
+    got = [(s["kind"], s["text"], s["media_ref"]) for s in out["spans"]]
+    assert got == want
+
+
 def test_pdf_bytes_failure_containment(spark):
     """A blob failing BOTH repair rungs becomes an error row + empty
     spans — never a task failure (north rule containment)."""
