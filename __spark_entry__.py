@@ -219,6 +219,71 @@ def q_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_table_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-fidelity chars-mode table extraction under the driver
+    oracle: deterministic tiny PDFs with a title line + a 3x2 ruled
+    table (grid graphics + cell text), parsed from raw bytes with
+    emit_chars so the whole flagship chain runs — content-stream parse
+    -> Char rows -> word rebuild -> sweep-line cells -> spanning grid
+    -> FROZEN validity tree -> table span (reference
+    extract_tables.py:351-761).  The oracle renders the analytically
+    known grid through the same ' | ' / newline canonical form."""
+    from pydoxtools_spark.pipeline import extract as _extract
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    docs_in = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("pdf_bytes").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("media://pdft/"),
+                         F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+    def gen_blobs(batches):
+        import pandas as pd
+
+        from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+
+        nr, nc, cw, ch = 3, 2, 90.0, 20.0
+        tx0, ty1 = 72.0, 600.0
+        ty0 = ty1 - nr * ch
+        lines = [(tx0, ty1 - r * ch, tx0 + nc * cw, ty1 - r * ch)
+                 for r in range(nr + 1)]
+        lines += [(tx0 + c * cw, ty0, tx0 + c * cw, ty1)
+                  for c in range(nc + 1)]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                texts = [(72.0, 730.0, 18.0, f"Doc {doc_id}")]
+                for r in range(nr):
+                    for c in range(nc):
+                        texts.append(
+                            (tx0 + c * cw + 4.0, ty1 - (r + 1) * ch + 6.0,
+                             10.0, f"r{r}c{c} d{doc_id}"))
+                data = build_tiny_pdf([{"texts": texts, "lines": lines}])
+                rows.append((f"media://pdft/{doc_id}", data))
+            yield pd.DataFrame(rows, columns=["ref", "content"])
+
+    blobs = d.mapInPandas(gen_blobs, "ref string, content binary")
+    out = _extract(spark, docs_in, None, parallelism=8, pdf_blobs=blobs,
+                   table_mode="chars")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("spans").alias("ord", "span"),
+    ).select(
+        "doc_id", "ord",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("span_text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
 def q_doc_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     payload = (
@@ -625,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_meta": q_html_meta,
         "text_paragraph_spans": q_text_paragraph_spans,
         "pdf_bytes": q_pdf_bytes,
+        "pdf_table_chars": q_pdf_table_chars,
         "doc_type_dispatch": q_doc_type_dispatch,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
@@ -697,6 +763,20 @@ def oracle_sql() -> dict[str, str]:
     FROM d
     UNION ALL
     SELECT doc_id, 1, 'text', t, NULL, length('Doc ' || doc_id) FROM d
+    """
+    pdf_table_chars_oracle = """
+    WITH d AS (
+      SELECT doc_id,
+             'r0c0 d' || doc_id || ' | r0c1 d' || doc_id || chr(10) ||
+             'r1c0 d' || doc_id || ' | r1c1 d' || doc_id || chr(10) ||
+             'r2c0 d' || doc_id || ' | r2c1 d' || doc_id AS tbl
+      FROM documents
+    )
+    SELECT doc_id, 0 AS ord, 'header' AS kind, 'Doc ' || doc_id AS span_text,
+           CAST(NULL AS VARCHAR) AS media_ref, 0 AS offset
+    FROM d
+    UNION ALL
+    SELECT doc_id, 1, 'table', tbl, NULL, length('Doc ' || doc_id) FROM d
     """
     text_oracle = """
     WITH d AS (SELECT doc_id, trim(text) AS t FROM documents)
@@ -1089,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "html_meta": html_meta_oracle,
         "text_paragraph_spans": text_oracle,
         "pdf_bytes": pdf_bytes_oracle,
+        "pdf_table_chars": pdf_table_chars_oracle,
         "doc_type_dispatch": dispatch_oracle,
         "token_stats": token_oracle,
         "lang_id": lang_oracle,

@@ -34,6 +34,7 @@ HEADLINE = [
     "html_meta",              # metadata side table (r2)
     "text_paragraph_spans",   # dispatch + text path, pure SQL
     "pdf_bytes",              # raw-bytes parse + repair ladder + layout (r2)
+    "pdf_table_chars",        # bytes -> chars -> sweep-line -> frozen tree (r3)
     "doc_type_dispatch",
     "exact_dedup",
     "minhash_lsh_pairs",
