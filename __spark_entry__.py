@@ -284,6 +284,46 @@ def q_pdf_table_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_markdown_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown extraction branch (reference extract_pandoc.py:98-167
+    block mapping) under the oracle: a deterministic markdown wrapper
+    (ATX header, paragraph, bullet list, pipe table, fenced code) is
+    routed by content dispatch (in_kind='text' + >=3 markdown pattern
+    families) through the markdown kernel; spans and running offsets
+    must match the analytically-known block structure."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    payload = F.concat(
+        F.lit("# Doc "), did, nl, nl,
+        F.col("text"), nl, nl,
+        F.lit("- alpha "), did, nl, F.lit("- beta"), nl, nl,
+        F.lit("| a"), did, F.lit(" | b |"), nl,
+        F.lit("| --- | --- |"), nl,
+        F.lit("| c | d"), did, F.lit(" |"), nl, nl,
+        F.lit("```"), nl, F.lit("code "), did, nl, F.lit("```"),
+    )
+    docs_in = _as_documents_in(d, payload, "text")
+    return _exploded_spans(spark, docs_in)
+
+
+def q_wiki_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mediawiki alias of the markdown branch (document.py:107-113
+    detection): == headers ==, {{template}} stripping, [[link|label]]
+    flattening, * lists."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    nl = F.lit("\n")
+    payload = F.concat(
+        F.lit("== Doc "), did, F.lit(" =="), nl, nl,
+        F.col("text"), F.lit(" {{cite web}} [[Target|link "), did,
+        F.lit("]]"), nl, nl,
+        F.lit("* item one "), did, nl, F.lit("* item two"),
+    )
+    docs_in = _as_documents_in(d, payload, "text")
+    return _exploded_spans(spark, docs_in)
+
+
 def q_doc_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     payload = (
@@ -689,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_main_content": q_html_main_content,
         "html_meta": q_html_meta,
         "text_paragraph_spans": q_text_paragraph_spans,
+        "markdown_spans": q_markdown_spans,
+        "wiki_spans": q_wiki_spans,
         "pdf_bytes": q_pdf_bytes,
         "pdf_table_chars": q_pdf_table_chars,
         "doc_type_dispatch": q_doc_type_dispatch,
@@ -777,6 +819,38 @@ def oracle_sql() -> dict[str, str]:
     FROM d
     UNION ALL
     SELECT doc_id, 1, 'table', tbl, NULL, length('Doc ' || doc_id) FROM d
+    """
+    markdown_oracle = r"""
+    WITH d AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+               FROM documents),
+    x AS (SELECT doc_id, t,
+                 'Doc ' || doc_id AS h,
+                 'alpha ' || doc_id || chr(10) || 'beta' AS lst,
+                 'a' || doc_id || ' | b' || chr(10) || 'c | d' || doc_id AS tbl,
+                 'code ' || doc_id AS code
+          FROM d)
+    SELECT doc_id, 0 AS ord, 'header' AS kind, h AS span_text,
+           CAST(NULL AS VARCHAR) AS media_ref, 0 AS offset FROM x
+    UNION ALL SELECT doc_id, 1, 'text', t, NULL, length(h) FROM x
+    UNION ALL SELECT doc_id, 2, 'list', lst, NULL, length(h) + length(t) FROM x
+    UNION ALL SELECT doc_id, 3, 'table', tbl, NULL,
+           length(h) + length(t) + length(lst) FROM x
+    UNION ALL SELECT doc_id, 4, 'text', code, NULL,
+           length(h) + length(t) + length(lst) + length(tbl) FROM x
+    """
+    wiki_oracle = r"""
+    WITH d AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+               FROM documents),
+    x AS (SELECT doc_id,
+                 'Doc ' || doc_id AS h,
+                 t || ' link ' || doc_id AS para,
+                 'item one ' || doc_id || chr(10) || 'item two' AS lst
+          FROM d)
+    SELECT doc_id, 0 AS ord, 'header' AS kind, h AS span_text,
+           CAST(NULL AS VARCHAR) AS media_ref, 0 AS offset FROM x
+    UNION ALL SELECT doc_id, 1, 'text', para, NULL, length(h) FROM x
+    UNION ALL SELECT doc_id, 2, 'list', lst, NULL,
+           length(h) + length(para) FROM x
     """
     text_oracle = """
     WITH d AS (SELECT doc_id, trim(text) AS t FROM documents)
@@ -1168,6 +1242,8 @@ def oracle_sql() -> dict[str, str]:
         "html_main_content": html_oracle,
         "html_meta": html_meta_oracle,
         "text_paragraph_spans": text_oracle,
+        "markdown_spans": markdown_oracle,
+        "wiki_spans": wiki_oracle,
         "pdf_bytes": pdf_bytes_oracle,
         "pdf_table_chars": pdf_table_chars_oracle,
         "doc_type_dispatch": dispatch_oracle,

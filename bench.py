@@ -33,6 +33,7 @@ HEADLINE = [
     "html_main_content",      # north-star tier 1 (html kernel e2e)
     "html_meta",              # metadata side table (r2)
     "text_paragraph_spans",   # dispatch + text path, pure SQL
+    "markdown_spans",         # markdown branch (dispatch-routed kernel, r3)
     "pdf_bytes",              # raw-bytes parse + repair ladder + layout (r2)
     "pdf_table_chars",        # bytes -> chars -> sweep-line -> frozen tree (r3)
     "doc_type_dispatch",

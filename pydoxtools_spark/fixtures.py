@@ -140,6 +140,91 @@ def _gen_text_payload(rng: random.Random, scale: int):
     return PARAGRAPH_JOIN.join(paras), golden
 
 
+# ----------------------------------------------------- markdown / wiki
+
+
+def _gen_markdown_payload(rng: random.Random, scale: int):
+    """Markdown doc with by-construction goldens.  Always emits an ATX
+    title, >=1 list and >=1 fenced code block, so the dispatch
+    heuristic (>=3 pattern families, document.py:66-89) is guaranteed
+    to route it to the markdown branch."""
+    golden: list[tuple[str, str | None, str | None]] = []
+    parts: list[str] = []
+
+    title = _sentence(rng, 2, 5)
+    parts.append("# " + title)
+    golden.append((KIND_HEADER, title, None))
+
+    slots = (["p"] * rng.randint(2, 5) * scale + ["ul", "code"]
+             + ["ol"] * rng.randint(0, 1) + ["table"] * rng.randint(0, 2)
+             + ["img"] * rng.randint(0, 1) + ["h2"] * rng.randint(0, 2))
+    rng.shuffle(slots)
+    for slot in slots:
+        if slot == "p":
+            p = _paragraph(rng)
+            parts.append(p)
+            golden.append((KIND_TEXT, p, None))
+        elif slot == "h2":
+            h = _sentence(rng, 2, 5)
+            parts.append("## " + h)
+            golden.append((KIND_HEADER, h, None))
+        elif slot in ("ul", "ol"):
+            items = [_sentence(rng, 2, 6) for _ in range(rng.randint(2, 5))]
+            marker = "- " if slot == "ul" else "1. "
+            parts.append("\n".join(marker + i for i in items))
+            golden.append((KIND_LIST, list_to_text(items), None))
+        elif slot == "code":
+            lines = [_sentence(rng, 2, 5) for _ in range(rng.randint(1, 4))]
+            parts.append("```\n" + "\n".join(lines) + "\n```")
+            golden.append((KIND_TEXT, "\n".join(lines), None))
+        elif slot == "table":
+            nr, nc = rng.randint(2, 4), rng.randint(2, 4)
+            rows = [[_sentence(rng, 1, 2) for _ in range(nc)]
+                    for _ in range(nr)]
+            md = ["| " + " | ".join(rows[0]) + " |",
+                  "|" + "|".join(" --- " for _ in range(nc)) + "|"]
+            md += ["| " + " | ".join(r) + " |" for r in rows[1:]]
+            parts.append("\n".join(md))
+            golden.append((KIND_TABLE, table_to_text(rows), None))
+        else:  # img
+            src = f"media://img/m{rng.randint(0, 10**6)}"
+            parts.append(f"![{_sentence(rng, 1, 2)}]({src})")
+            golden.append((KIND_IMAGE, None, src))
+    return "\n\n".join(parts), golden
+
+
+def _gen_wiki_payload(rng: random.Random, scale: int):
+    """Mediawiki doc: == headers ==, * lists, [[links]], {{templates}};
+    the '== x ==' / wiki-link markers trip MEDIAWIKI_SNIFF so dispatch
+    routes it through the wiki alias (document.py:107-113)."""
+    golden: list[tuple[str, str | None, str | None]] = []
+    parts: list[str] = []
+
+    title = _sentence(rng, 2, 5)
+    parts.append(f"== {title} ==")
+    golden.append((KIND_HEADER, title, None))
+
+    slots = ["p"] * rng.randint(2, 5) * scale + ["ul"] + ["h2"] * rng.randint(0, 2)
+    rng.shuffle(slots)
+    for slot in slots:
+        if slot == "p":
+            p = _paragraph(rng)
+            label = _sentence(rng, 1, 2)
+            # one wiki link + one template marker inside the paragraph
+            raw = f"{p} {{{{cite {rng.choice(_WORDS)}}}}} [[Target|{label}]]"
+            parts.append(raw)
+            golden.append((KIND_TEXT, f"{p} {label}", None))
+        elif slot == "h2":
+            h = _sentence(rng, 2, 5)
+            parts.append(f"=== {h} ===")
+            golden.append((KIND_HEADER, h, None))
+        else:
+            items = [_sentence(rng, 2, 6) for _ in range(rng.randint(2, 5))]
+            parts.append("\n".join("* " + i for i in items))
+            golden.append((KIND_LIST, list_to_text(items), None))
+    return "\n\n".join(parts), golden
+
+
 # --------------------------------------------------------------- PDF
 
 PAGE_W, PAGE_H = 612.0, 792.0
@@ -433,9 +518,12 @@ def gen_doc(doc_idx: int, seed: int = 42):
     offset = 0
 
     n_in = rng.randint(1, 4)
+    # "md"/"wiki" are payload FLAVORS of IN_KIND_TEXT (markdown is
+    # detected by content dispatch, not by input kind — document.py:66-113)
     kinds = [rng.choices(
-        [IN_KIND_HTML, IN_KIND_TEXT, IN_KIND_PDF_REF, IN_KIND_IMAGE_REF],
-        weights=[4, 3, 2, 1])[0] for _ in range(n_in)]
+        [IN_KIND_HTML, IN_KIND_TEXT, "md", "wiki", IN_KIND_PDF_REF,
+         IN_KIND_IMAGE_REF],
+        weights=[4, 2, 1, 1, 2, 1])[0] for _ in range(n_in)]
 
     for i, k in enumerate(kinds):
         if k == IN_KIND_HTML:
@@ -443,10 +531,12 @@ def gen_doc(doc_idx: int, seed: int = 42):
             in_spans.append({"kind": k, "text": payload, "media_ref": None,
                              "offset": offset})
             offset += len(payload)
-        elif k == IN_KIND_TEXT:
-            payload, g = _gen_text_payload(rng, scale)
-            in_spans.append({"kind": k, "text": payload, "media_ref": None,
-                             "offset": offset})
+        elif k in (IN_KIND_TEXT, "md", "wiki"):
+            gen = {"md": _gen_markdown_payload,
+                   "wiki": _gen_wiki_payload}.get(k, _gen_text_payload)
+            payload, g = gen(rng, scale)
+            in_spans.append({"kind": IN_KIND_TEXT, "text": payload,
+                             "media_ref": None, "offset": offset})
             offset += len(payload)
         elif k == IN_KIND_PDF_REF:
             ref = f"media://pdf/{doc_id}_{i}"

@@ -89,10 +89,24 @@ def explode_input_spans(documents_in: DataFrame) -> DataFrame:
 # ------------------------------------------------------------- branches
 
 
+def _is_markup_text() -> F.Column:
+    """Text spans whose content dispatch detects as markdown/mediawiki
+    route to the markdown branch (reference: a .md payload gets the
+    pandoc pipeline, document.py:66-113 + extract_pandoc.py:98-167);
+    everything else keeps the pure-SQL paragraph split.  The doc_type
+    ladder is evaluated once per branch filter — pure Catalyst regex,
+    stays inside whole-stage codegen."""
+    from .dispatch import TYPE_MARKDOWN, TYPE_MEDIAWIKI, doc_type_col
+
+    return doc_type_col(F.col("in_text")).isin(TYPE_MARKDOWN, TYPE_MEDIAWIKI)
+
+
 def _text_branch(spans: DataFrame) -> DataFrame:
     """Plain text -> paragraph spans, entirely in Spark SQL
     (reference extract_textstructure.py:72-82: blank-line split)."""
-    paras = spans.filter(F.col("in_kind") == IN_KIND_TEXT).select(
+    paras = spans.filter(
+        (F.col("in_kind") == IN_KIND_TEXT) & ~_is_markup_text()
+    ).select(
         "doc_id",
         "span_idx",
         F.posexplode(
@@ -137,6 +151,43 @@ def _html_branch(spans: DataFrame, parallelism: int) -> DataFrame:
         "doc_id", "span_idx", "in_text"
     )
     return html.mapInPandas(_html_kernel, _OUT_SPAN)
+
+
+def _markdown_kernel(batches):
+    """mapInPandas kernel: markdown/mediawiki payload -> output spans
+    (functions/markdown.py; reference extract_pandoc.py:98-167 block
+    mapping)."""
+    from .dispatch import TYPE_MEDIAWIKI
+    from .functions.markdown import extract_markdown_spans, extract_wiki_spans
+
+    cols = ["doc_id", "span_idx", "ord1", "ord2", "ord3", "kind", "text", "media_ref"]
+    for pdf in batches:
+        rows = []
+        for doc_id, span_idx, raw, dt in zip(
+            pdf["doc_id"], pdf["span_idx"], pdf["in_text"], pdf["doc_type"]
+        ):
+            fn = extract_wiki_spans if dt == TYPE_MEDIAWIKI else extract_markdown_spans
+            try:
+                for i, (k, t, r) in enumerate(fn(raw or "")):
+                    rows.append((doc_id, int(span_idx), float(i), 0.0, 0.0, k, t, r))
+            except Exception as e:  # failure containment, never task death
+                rows.append(
+                    (doc_id, int(span_idx), 0.0, 0.0, 0.0, KIND_ERROR,
+                     f"markdown_parse_error: {type(e).__name__}: {e}", None)
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def _markdown_branch(spans: DataFrame) -> DataFrame:
+    from .dispatch import doc_type_col
+
+    md = spans.filter(
+        (F.col("in_kind") == IN_KIND_TEXT) & _is_markup_text()
+    ).select(
+        "doc_id", "span_idx", "in_text",
+        doc_type_col(F.col("in_text")).alias("doc_type"),
+    )
+    return md.mapInPandas(_markdown_kernel, _OUT_SPAN)
 
 
 def _parse_pdf_blobs_kernel(batches):
@@ -360,6 +411,7 @@ def extract(
     )
     out = (
         _text_branch(spans)
+        .unionByName(_markdown_branch(spans))
         .unionByName(_html_branch(spans, parallelism))
         .unionByName(_pdf_branch(spans, pdf_elements, table_mode))
         .unionByName(_image_branch(spans))
