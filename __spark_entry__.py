@@ -324,6 +324,55 @@ def q_wiki_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exploded_spans(spark, docs_in)
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode+feature tier under the oracle: deterministic
+    BMP (even docs) / WAV (odd docs) blobs generated per doc, decoded
+    by the REAL codec readers (functions/media.py), featurized with
+    integer-exact luminance/amplitude histograms.  The DuckDB twin
+    recomputes byte sizes, dimensions, mean levels and the one-hot
+    histogram bin purely arithmetically from doc_id — a full
+    writer -> reader -> feature cross-check."""
+    from pydoxtools_spark.operators.multimodal import MEDIA, media_features
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pydoxtools_spark.functions.media import build_bmp, build_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    w, h = 16 + i % 32, 16 + (i * 7) % 32
+                    px = np.zeros((h, w, 3), dtype=np.uint8)
+                    px[:, :] = (i % 256, (i * 3) % 256, (i * 5) % 256)
+                    rows.append((f"media://img/{i}", "image",
+                                 build_bmp(px), None))
+                else:
+                    n = 100 + i % 100
+                    amp = (i * 13) % 32768
+                    rows.append((f"media://aud/{i}", "audio",
+                                 build_wav(np.full(n, amp, dtype=np.int16),
+                                           8000), None))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "media_type", "content", "meta"])
+
+    media = d.mapInPandas(gen_media, MEDIA)
+    feats = media_features(media)
+    return feats.select(
+        F.regexp_extract("media_ref", r"(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "media_type", "n_bytes", "width", "height", "sample_rate",
+        "duration_ms", "mean_level",
+        (F.array_position(F.col("feature"), F.array_max("feature")) - 1)
+        .cast("int").alias("top_bin"),
+        F.round(F.array_max("feature"), 4).alias("top_val"),
+    )
+
+
 def q_doc_type_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     payload = (
@@ -733,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wiki_spans": q_wiki_spans,
         "pdf_bytes": q_pdf_bytes,
         "pdf_table_chars": q_pdf_table_chars,
+        "media_features": q_media_features,
         "doc_type_dispatch": q_doc_type_dispatch,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
@@ -851,6 +901,31 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL SELECT doc_id, 1, 'text', para, NULL, length(h) FROM x
     UNION ALL SELECT doc_id, 2, 'list', lst, NULL,
            length(h) + length(para) FROM x
+    """
+    media_oracle = """
+    SELECT doc_id, 'image' AS media_type,
+           CAST(54 + (((3 * (16 + doc_id % 32) + 3) // 4) * 4)
+              * (16 + (doc_id * 7) % 32) AS INT) AS n_bytes,
+           CAST(16 + doc_id % 32 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(NULL AS INT) AS duration_ms,
+           CAST((299 * (doc_id % 256) + 587 * ((doc_id * 3) % 256)
+                 + 114 * ((doc_id * 5) % 256)) // 1000 AS INT) AS mean_level,
+           CAST((299 * (doc_id % 256) + 587 * ((doc_id * 3) % 256)
+                 + 114 * ((doc_id * 5) % 256)) // 16000 AS INT) AS top_bin,
+           CAST(1.0 AS DOUBLE) AS top_val
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'audio',
+           CAST(44 + 2 * (100 + doc_id % 100) AS INT),
+           NULL, NULL,
+           8000,
+           CAST((100 + doc_id % 100) * 1000 // 8000 AS INT),
+           CAST((doc_id * 13) % 32768 AS INT),
+           CAST(least(((doc_id * 13) % 32768) // 2048, 15) AS INT),
+           CAST(1.0 AS DOUBLE)
+    FROM documents WHERE doc_id % 2 = 1
     """
     text_oracle = """
     WITH d AS (SELECT doc_id, trim(text) AS t FROM documents)
@@ -1246,6 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         "wiki_spans": wiki_oracle,
         "pdf_bytes": pdf_bytes_oracle,
         "pdf_table_chars": pdf_table_chars_oracle,
+        "media_features": media_oracle,
         "doc_type_dispatch": dispatch_oracle,
         "token_stats": token_oracle,
         "lang_id": lang_oracle,

@@ -1,16 +1,28 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary
-columns with typed metadata.
-
-The decode step itself is STUBBED (no image/audio libs in this
-container — deterministic fake features, clearly marked); everything
-Spark-side is real and tested: schema, partition sizing for large
-blobs, Arrow batch shape, mapInPandas signature.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, decoded and featurized by Arrow-batched kernels.
 
 Reference parity: the reference renders PDF pages to PIL images
-(pdf_utils.py:151-161) and runs OCR on them (extract_ocr.py:21-52);
-its images are per-document in-process objects.  Here media are rows
-(media_ref, content binary, meta) so a 100 TB corpus of media shards
-across executors.
+(pdf_utils.py:151-161) and runs tesseract OCR on them
+(extract_ocr.py:21-52); its images are per-document in-process
+objects.  Here media are rows (media_ref, media_type, content binary,
+meta) so a 100 TB corpus of media shards across executors, and the
+decode step is a LADDER:
+
+  BMP (24-bit BI_RGB)  -> real decode (functions/media.py reader):
+                          exact width/height + 16-bin luminance
+                          histogram feature + integer mean level
+  RIFF/WAVE PCM        -> real decode: sample_rate / duration_ms +
+                          16-bin amplitude histogram + mean |sample|
+  anything else        -> contained decode_error row (nulls, never
+                          task death) — the plug point where
+                          PIL / libvips / ffmpeg slot in as the same
+                          batched kernel shape
+
+OCR is a model plug point (ocr_extract): any batched
+images -> texts callable drops in; tests drive it with a mock model
+over the deterministic text-raster pair (functions/media.py), proving
+the batch shape, schema, and error-containment contracts without the
+model dependency (reference chain document.py:320-355).
 """
 
 from __future__ import annotations
@@ -48,67 +60,126 @@ MEDIA_FEATURES = StructType(
         StructField("content_hash", StringType(), False),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("mean_level", IntegerType(), True),
         StructField("feature", ArrayType(DoubleType()), True),
+        StructField("decode_error", StringType(), True),
     ]
 )
 
 FEATURE_DIM = 16
 
 
-def _decode_image_stub(content: bytes) -> tuple[int, int]:
-    """STUB: real impl would decode with PIL/libvips.  Deterministic
-    fake dimensions derived from the content hash so tests are stable.
-    Raises on empty payload the way a real decoder raises on garbage."""
-    if not content:
-        raise NotImplementedError("empty media payload (decoder stub)")
-    h = hashlib.md5(content).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192
+def decode_media(media_type: str, content: bytes) -> dict:
+    """One blob -> decoded feature fields.  Raises MediaDecodeError for
+    codecs outside the implemented ladder (the real-decoder plug
+    point)."""
+    from ..functions.media import (
+        MediaDecodeError,
+        amplitude_hist16,
+        luminance_hist16,
+        parse_bmp,
+        parse_wav,
+    )
 
-
-def _feature_stub(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """STUB: real impl = vision/audio embedding model.  Deterministic
-    hash-derived unit vector (stable fake)."""
-    h = hashlib.sha256(content).digest()
-    v = [((h[i % 32] / 255.0) * 2.0 - 1.0) for i in range(dim)]
-    n = sum(x * x for x in v) ** 0.5 or 1.0
-    return [x / n for x in v]
+    if content[:2] == b"BM":
+        w, h, px = parse_bmp(content)
+        hist, mean = luminance_hist16(px)
+        return {"width": w, "height": h, "feature": hist, "mean_level": mean}
+    if content[:4] == b"RIFF":
+        rate, samples = parse_wav(content)
+        hist, mean = amplitude_hist16(samples)
+        return {
+            "sample_rate": rate,
+            "duration_ms": int(len(samples) * 1000 // max(rate, 1)),
+            "feature": hist,
+            "mean_level": mean,
+        }
+    raise MediaDecodeError(
+        f"unsupported codec for media_type={media_type} "
+        "(plug a real decoder into decode_media)")
 
 
 def media_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     """Decode + featurize media blobs via Arrow-batched mapInPandas.
 
-    Real Spark plumbing: binary column travels through Arrow; one
-    output row per media row; failures contained per row (width/height
-    null on decode error).  Repartition upstream if blob-size skew is
+    Real Spark plumbing: binary travels through Arrow; one output row
+    per media row; failures contained per row (decode_error column,
+    nulls elsewhere).  Repartition upstream if blob-size skew is
     observed (giant videos -> dedicated partitions, same pattern as
     giant PDFs)."""
 
     def kernel(batches):
+        cols = [f.name for f in MEDIA_FEATURES.fields]
         for pdf in batches:
             rows = []
             for ref, mtype, content in zip(
                 pdf["media_ref"], pdf["media_type"], pdf["content"]
             ):
                 content = bytes(content) if content is not None else b""
-                row = {
-                    "media_ref": ref,
-                    "media_type": mtype,
-                    "n_bytes": len(content),
-                    "content_hash": hashlib.md5(content).hexdigest(),
-                    "width": None,
-                    "height": None,
-                    "feature": None,
-                }
+                row = dict.fromkeys(cols)
+                row.update(
+                    media_ref=ref, media_type=mtype, n_bytes=len(content),
+                    content_hash=hashlib.md5(content).hexdigest(),
+                )
                 try:
-                    if mtype == "image":
-                        row["width"], row["height"] = _decode_image_stub(content)
-                    row["feature"] = _feature_stub(content)
-                except Exception:
-                    pass  # failure containment: nulls, not task death
+                    row.update(decode_media(mtype, content))
+                except Exception as e:  # containment: error column, not death
+                    row["decode_error"] = f"{type(e).__name__}: {e}"
                 rows.append(row)
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(kernel, MEDIA_FEATURES)
+
+
+OCR_TEXT = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def ocr_extract(media: DataFrame, model) -> DataFrame:
+    """OCR plug point (reference OCRExtractor, extract_ocr.py:21-52).
+
+    `model` is any BATCHED callable  list[np.ndarray (h,w,3) uint8]
+    -> list[str]  — tesseract/HF vision models wrap to this shape.
+    The kernel decodes each image blob and invokes the model once per
+    Arrow batch (the batch-size contract a real model needs); decode or
+    model failure is contained per row."""
+
+    def kernel(batches):
+        from ..functions.media import parse_bmp
+
+        for pdf in batches:
+            refs, imgs, errs = [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                refs.append(ref)
+                try:
+                    _w, _h, px = parse_bmp(
+                        bytes(content) if content is not None else b"")
+                    imgs.append(px)
+                    errs.append(None)
+                except Exception as e:
+                    imgs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            ok = [im for im in imgs if im is not None]
+            try:
+                texts = iter(model(ok))
+            except Exception as e:  # whole-batch model failure -> rows
+                texts = iter([])
+                errs = [err or f"model_error: {type(e).__name__}: {e}"
+                        for err in errs]
+            rows = []
+            for ref, im, err in zip(refs, imgs, errs):
+                rows.append((ref, next(texts, None) if im is not None else None,
+                             err))
+            yield pd.DataFrame(rows, columns=["media_ref", "text", "error"])
+
+    return media.select("media_ref", "content").mapInPandas(kernel, OCR_TEXT)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:

@@ -153,22 +153,89 @@ def test_lsh_topk_bucket_recall(spark):
     assert top and top[0]["neighbor_id"] == 100
 
 
-def test_media_features_stub(spark):
+def test_media_codec_roundtrip():
+    import numpy as np
+
+    from pydoxtools_spark.functions.media import (
+        bmp_size, build_bmp, build_wav, parse_bmp, parse_wav)
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(6, 7, 3), dtype=np.uint8)
+    data = build_bmp(px)
+    assert len(data) == bmp_size(7, 6)
+    w, h, back = parse_bmp(data)
+    assert (w, h) == (7, 6) and (back == px).all()
+
+    samples = rng.integers(-32768, 32767, size=123, dtype=np.int16)
+    rate, back_s = parse_wav(build_wav(samples, 8000))
+    assert rate == 8000 and (back_s == samples).all()
+
+
+def test_media_features_real_codecs(spark):
+    import numpy as np
+
+    from pydoxtools_spark.functions.media import bmp_size, build_bmp, build_wav
+
+    px = np.zeros((4, 5, 3), dtype=np.uint8)
+    px[:, :] = (200, 100, 50)  # solid color -> one-hot luminance hist
     rows = [
-        {"media_ref": "m1", "media_type": "image", "content": b"fakejpg",
-         "meta": {"n_frames": "0"}},
-        {"media_ref": "m2", "media_type": "image", "content": None,
+        {"media_ref": "m1", "media_type": "image",
+         "content": build_bmp(px), "meta": None},
+        {"media_ref": "a1", "media_type": "audio",
+         "content": build_wav(np.full(800, 1024, dtype=np.int16), 8000),
          "meta": None},
         {"media_ref": "v1", "media_type": "video", "content": b"fakemp4",
          "meta": {"n_frames": "90"}},
+        {"media_ref": "m2", "media_type": "image", "content": None,
+         "meta": None},
     ]
     df = spark.createDataFrame(rows, schema=multimodal.MEDIA)
     out = {r["media_ref"]: r for r in multimodal.media_features(df).collect()}
-    assert out["m1"]["width"] is not None and out["m1"]["height"] is not None
-    assert len(out["m1"]["feature"]) == multimodal.FEATURE_DIM
-    assert out["m2"]["width"] is None  # decode failure contained
+
+    lum = (299 * 200 + 587 * 100 + 114 * 50) // 1000
+    m1 = out["m1"]
+    assert (m1["width"], m1["height"]) == (5, 4)
+    assert m1["n_bytes"] == bmp_size(5, 4)
+    assert m1["mean_level"] == lum and m1["feature"][lum >> 4] == 1.0
+    a1 = out["a1"]
+    assert (a1["sample_rate"], a1["duration_ms"]) == (8000, 100)
+    assert a1["mean_level"] == 1024 and a1["feature"][0] == 1.0
+    # undecodable codecs + empty payloads -> contained error rows
+    assert out["v1"]["decode_error"] and out["v1"]["width"] is None
+    assert out["m2"]["decode_error"]
     frames = multimodal.frame_sample_plan(df, every_n=30).collect()
     assert sorted(r["frame_idx"] for r in frames if r["media_ref"] == "v1") == [0, 30, 60]
+
+
+def test_ocr_mock_model_plug_point(spark):
+    """The batched OCR plug point (reference extract_ocr.py:21-52): a
+    mock model with the production batch signature (list of decoded
+    images -> list of texts) recovers text from the deterministic
+    raster pair; undecodable rows are contained, the model still sees
+    one clean batch."""
+    from pydoxtools_spark.functions.media import (
+        build_text_bmp, read_text_bmp_pixels)
+
+    calls = []
+
+    def mock_model(images):
+        calls.append(len(images))
+        return [read_text_bmp_pixels(im) for im in images]
+
+    rows = [
+        {"media_ref": "t1", "media_type": "image",
+         "content": build_text_bmp("hello ocr"), "meta": None},
+        {"media_ref": "t2", "media_type": "image",
+         "content": build_text_bmp("zweite Zeile"), "meta": None},
+        {"media_ref": "bad", "media_type": "image", "content": b"not-bmp",
+         "meta": None},
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA).coalesce(1)
+    out = {r["media_ref"]: r for r in
+           multimodal.ocr_extract(df, mock_model).collect()}
+    assert out["t1"]["text"] == "hello ocr"
+    assert out["t2"]["text"] == "zweite Zeile"
+    assert out["bad"]["text"] is None and out["bad"]["error"]
 
 
 def test_text_pieces_bounded_and_ordered(spark):
