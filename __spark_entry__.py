@@ -571,6 +571,42 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+_TEXTRANK_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+_TR_ITERS = 8
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textrank keywords (extract_index.py:163-196 + TextrankOperator)
+    under the oracle: a constructed per-doc similarity graph with
+    arithmetically-known edges/weights (8 nodes, two doc_id-dependent
+    edge rules, integer weights) runs through the REAL weighted-pagerank
+    operator + label dedup/top-k; the DuckDB twin unrolls the identical
+    8 pagerank iterations in SQL.  (The embeddings->knn edge
+    construction is oracle-checked separately via knn_graph/
+    knn_graph_lsh; the composed chain has its own pytest.)"""
+    from pydoxtools_spark.operators.similarity import textrank_keywords
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.select("doc_id", F.explode(F.sequence(
+        F.lit(0).cast("bigint"), F.lit(7).cast("bigint"))).alias("i"))
+    j1 = (F.col("i") + 1 + F.col("doc_id") % 3) % 8
+    j2 = (F.col("i") * 2 + F.col("doc_id")) % 8
+    e1 = n.select("doc_id", F.col("i").alias("src"), j1.alias("dst"))
+    e2 = n.filter((j2 != F.col("i")) & (j2 != j1)).select(
+        "doc_id", F.col("i").alias("src"), j2.alias("dst"))
+    edges = e1.unionByName(e2).withColumn(
+        "weight", (1 + (F.col("src") + F.col("dst")) % 3).cast("double"))
+    vocab = F.array(*[F.lit(w) for w in _TEXTRANK_VOCAB])
+    tokens = n.select(
+        "doc_id",
+        F.col("i").alias("tok_id"),
+        F.element_at(
+            vocab, ((F.col("doc_id") + 3 * F.col("i")) % 6 + 1).cast("int")
+        ).alias("token"),
+    )
+    return textrank_keywords(tokens, top_k=5, iters=_TR_ITERS, edges=edges)
+
+
 def q_exploded_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return (
@@ -797,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "knn_graph": q_knn_graph,
         "knn_graph_lsh": q_knn_graph_lsh,
+        "textrank_keywords": q_textrank_keywords,
         "embedding_neardup": q_embedding_neardup,
         "dedup_groups": q_dedup_groups,
         "full_text": q_full_text,
@@ -1160,6 +1197,58 @@ def oracle_sql() -> dict[str, str]:
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= 0.95
     """
+    # unrolled fixed-iteration weighted pagerank (no dangling nodes in
+    # this constructed graph: edge rule 1 always emits an out-edge).
+    # Double-forcing CASTs keep the IEEE expression tree identical to
+    # Spark's (DuckDB decimal literals would round differently).
+    tr_iters = "".join(
+        f""", r{t + 1} AS (
+      SELECT n.doc_id, n.i AS id,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / 8
+             + CAST(0.85 AS DOUBLE) * coalesce(c.s, CAST(0 AS DOUBLE)) AS r
+      FROM n LEFT JOIN (
+        SELECT ne.doc_id, ne.dst, sum(p.r * ne.p) AS s
+        FROM ne JOIN r{t} p ON ne.doc_id = p.doc_id AND ne.src = p.id
+        GROUP BY 1, 2) c
+      ON n.doc_id = c.doc_id AND n.i = c.dst)"""
+        for t in range(_TR_ITERS)
+    )
+    vocab_sql = "[" + ", ".join(f"'{w}'" for w in _TEXTRANK_VOCAB) + "]"
+    textrank_oracle = f"""
+    WITH n AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i
+               FROM documents, unnest(range(0, 8)) AS t(i)),
+    e0 AS (
+      SELECT doc_id, i AS src, (i + 1 + doc_id % 3) % 8 AS dst FROM n
+      UNION ALL
+      SELECT doc_id, i, (i * 2 + doc_id) % 8 FROM n
+      WHERE (i * 2 + doc_id) % 8 != i
+        AND (i * 2 + doc_id) % 8 != (i + 1 + doc_id % 3) % 8
+    ),
+    e AS (SELECT doc_id, src, dst,
+                 CAST(1 + (src + dst) % 3 AS DOUBLE) AS w FROM e0),
+    ow AS (SELECT doc_id, src, sum(w) AS ow FROM e GROUP BY 1, 2),
+    ne AS (SELECT e.doc_id, e.src, e.dst, e.w / ow.ow AS p
+           FROM e JOIN ow ON e.doc_id = ow.doc_id AND e.src = ow.src),
+    r0 AS (SELECT doc_id, i AS id, CAST(1.0 AS DOUBLE) / 8 AS r FROM n)
+    {tr_iters},
+    ranked AS (
+      SELECT doc_id, id,
+             ({vocab_sql})[CAST((doc_id + 3 * id) % 6 AS INT) + 1] AS keyword,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(r, 6) DESC, id) AS pos0
+      FROM r{_TR_ITERS}),
+    firsts AS (
+      SELECT doc_id, keyword, pos0,
+             row_number() OVER (PARTITION BY doc_id, keyword
+                                ORDER BY pos0) AS rl
+      FROM ranked),
+    final AS (
+      SELECT doc_id, keyword,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos0)
+                  AS INT) AS pos
+      FROM firsts WHERE rl = 1)
+    SELECT doc_id, pos, keyword FROM final WHERE pos <= 5
+    """
     words_oracle = r"""
     SELECT word, count(*) AS cnt FROM (
       SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
@@ -1338,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ann_oracle,
         "knn_graph": knn_oracle,
         "knn_graph_lsh": knn_lsh_oracle,
+        "textrank_keywords": textrank_oracle,
         "embedding_neardup": neardup_oracle,
         "dedup_groups": """
     SELECT doc_id AS id, doc_id AS component FROM documents

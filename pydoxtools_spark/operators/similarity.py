@@ -217,17 +217,30 @@ def hash_embeddings(df: DataFrame, text_col: str = "text",
     )
 
 
+KNN_EXACT_MAX = 100_000
+
+
 def knn_graph(corpus: DataFrame, k: int = 4, max_dist: float = 0.2,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              exact: bool | None = None,
+              exact_max: int = KNN_EXACT_MAX, dim: int = 64) -> DataFrame:
     """Similarity graph edges: each vector's k nearest cosine neighbors
     with distance (1-cos) <= max_dist — the reference's SimilarityGraph
     semantics (extract_index.py:163-196) relationally.
 
-    EXACT form: broadcasts the full corpus as the query side — correct
-    for the reference's per-document-set scope (a few thousand text
-    pieces), a scale-killer beyond ~100k vectors.  The corpus-scale
-    path is knn_graph_lsh below (bucketed candidates, no broadcast,
-    no O(N^2))."""
+    SIZE-GATED: the exact form broadcasts the full corpus as the query
+    side (O(N^2) score work) — correct for the reference's
+    per-document-set scope (a few thousand text pieces), a scale-killer
+    beyond ~100k vectors.  With exact=None (default) the corpus is
+    counted once (one cheap action vs an accidental O(N^2) job) and
+    anything above `exact_max` auto-routes to knn_graph_lsh — bucketed
+    candidates, no broadcast, recall < 1 by design.  Pass exact=True to
+    pin the exact form (skips the count), exact=False to force LSH."""
+    if exact is None:
+        exact = corpus.count() <= exact_max
+    if not exact:
+        return knn_graph_lsh(corpus, k=k, max_dist=max_dist,
+                             id_col=id_col, vec_col=vec_col, dim=dim)
     edges = brute_force_topk(corpus, corpus, k=k, id_col=id_col, vec_col=vec_col)
     return edges.select(
         F.col("query_id").alias("src"),
@@ -289,6 +302,193 @@ def knn_graph_lsh(
             "src", "dst", (1.0 - F.col("cos_sim")).alias("dist"), "rank"
         )
         .filter(F.col("dist") <= max_dist)
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    graph_col: str = "doc_id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    checkpoint_dir: str | None = None,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Weighted pagerank over per-graph edge sets (one graph per
+    `graph_col` value — the reference runs networkx pagerank per
+    document's similarity graph, extract_index.py:189-196).
+
+    Fixed-iteration form: `iters` rounds of
+      r'(j) = (1-d)/N + d * (sum_{i->j} r(i) * w_ij / outw(i)
+                             + dangling_mass / N)
+    Deterministic (no convergence probe), so no per-round driver logic
+    is needed.  Each round's rank table is lineage-truncated (the
+    connected_components pattern: reliable `checkpoint()` when
+    checkpoint_dir is set — survives executor loss — else
+    localCheckpoint): the round's plan references the previous ranks
+    TWICE (edge contributions + dangling mass), so without truncation
+    the logical plan doubles per round and analysis time explodes
+    exponentially.  Normalized edges and the node table are persisted
+    because every round references them.
+
+    Scale: each round is two shuffles on (graph, node) keys, the
+    standard distributed-pagerank shape; graphs are independent so skew
+    is bounded by the largest single graph (per-doc token graphs:
+    thousands of nodes at most)."""
+    spark = edges.sparkSession
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if checkpoint_dir else (
+            df.localCheckpoint(eager=True))
+
+    e = edges.select(
+        F.col(graph_col).alias("g"),
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    out_w = e.groupBy("g", "src").agg(F.sum("w").alias("ow"))
+    ne = e.join(out_w, ["g", "src"]).select(
+        "g", "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+    ).persist()
+    if nodes is None:
+        # node set from the edges; pass `nodes` (graph_col, id) to also
+        # rank isolated vertices (the reference adds every token to the
+        # graph before wiring edges, extract_index.py:178)
+        nodes = (
+            e.select("g", F.col("src").alias("id"))
+            .unionByName(e.select("g", F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        nodes = nodes.select(
+            F.col(graph_col).alias("g"), F.col("id")).distinct()
+    counts = nodes.groupBy("g").agg(F.count("*").alias("n"))
+    nodes = nodes.join(counts, "g").persist()
+    # dangling set = nodes with no out-edges (networkx semantics:
+    # their mass is redistributed uniformly)
+    dangling = nodes.join(
+        out_w.select("g", F.col("src").alias("id")), ["g", "id"], "left_anti"
+    ).select("g", "id")
+
+    ranks = nodes.select("g", "id", "n", (1.0 / F.col("n")).alias("r"))
+    for _ in range(iters):
+        ranks = _ckpt(ranks)
+        contrib = (
+            ranks.select("g", F.col("id").alias("src"), "r")
+            .join(ne, ["g", "src"])
+            .groupBy("g", F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") * F.col("p")).alias("c"))
+        )
+        dmass = (
+            ranks.join(dangling, ["g", "id"], "left_semi")
+            .groupBy("g")
+            .agg(F.sum("r").alias("dm"))
+        )
+        ranks = (
+            nodes.join(contrib, ["g", "id"], "left")
+            .join(dmass, "g", "left")
+            .select(
+                "g", "id", "n",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.coalesce(F.col("dm"), F.lit(0.0)) / F.col("n"))
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("g").alias(graph_col), "id", F.col("r").alias("rank")
+    )
+
+
+def doc_knn_edges(
+    tokens: DataFrame,
+    k: int = 4,
+    max_dist: float = 0.2,
+    doc_col: str = "doc_id",
+    id_col: str = "tok_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-document similarity-graph edges (reference SimilarityGraph,
+    extract_index.py:163-188: directed i->j for j among i's k nearest,
+    d <= max_distance, weight = 1 - d).
+
+    The self-join is scoped to ONE document's tokens (equi-join on
+    doc_col), so the quadratic factor is bounded by tokens-per-doc
+    (thousands), never corpus size — each doc's block is independent
+    and AQE splits skewed giants."""
+    a = tokens.select(
+        F.col(doc_col).alias("g"), F.col(id_col).alias("src"),
+        F.col(vec_col).alias("sv"))
+    b = tokens.select(
+        F.col(doc_col).alias("g"), F.col(id_col).alias("dst"),
+        F.col(vec_col).alias("dv"))
+    scored = (
+        a.join(b, "g")
+        .filter(F.col("src") != F.col("dst"))
+        .select("g", "src", "dst", cosine(F.col("sv"), F.col("dv")).alias("cos"))
+    )
+    w = Window.partitionBy("g", "src").orderBy(
+        F.col("cos").desc(), F.col("dst").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= k) & (1.0 - F.col("cos") <= max_dist))
+        .select(
+            F.col("g").alias(doc_col), "src", "dst",
+            F.col("cos").alias("weight"), "rank",
+        )
+    )
+
+
+def textrank_keywords(
+    tokens: DataFrame,
+    top_k: int = 5,
+    k: int = 4,
+    max_dist: float = 0.2,
+    iters: int = 10,
+    damping: float = 0.85,
+    doc_col: str = "doc_id",
+    id_col: str = "tok_id",
+    label_col: str = "token",
+    vec_col: str = "embedding",
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Textrank keywords (reference TextrankOperator,
+    extract_index.py:190-196 + keyword dedup): per-doc similarity
+    graph -> weighted pagerank -> labels ranked by score, duplicates
+    keep their best position, top_k kept.
+
+    Returns (doc_col, pos, keyword).  Ranking uses round(rank, 6) with
+    an id tie-break so mathematically-equal scores (symmetric nodes)
+    order identically on every engine regardless of float summation
+    order.  Pass `edges` to rank an externally built graph (e.g.
+    knn_graph_lsh output joined back to docs)."""
+    if edges is None:
+        edges = doc_knn_edges(tokens, k=k, max_dist=max_dist,
+                              doc_col=doc_col, id_col=id_col, vec_col=vec_col)
+    node_ids = tokens.select(doc_col, F.col(id_col).alias("id"))
+    ranks = pagerank(edges, damping=damping, iters=iters, graph_col=doc_col,
+                     nodes=node_ids)
+    labels = tokens.select(
+        doc_col, F.col(id_col).alias("id"), F.col(label_col).alias("keyword"))
+    scored = ranks.join(labels, [doc_col, "id"])
+    w_pos = Window.partitionBy(doc_col).orderBy(
+        F.round("rank", 6).desc(), F.col("id").asc())
+    scored = scored.withColumn("pos0", F.row_number().over(w_pos))
+    w_dup = Window.partitionBy(doc_col, "keyword").orderBy("pos0")
+    first = scored.withColumn("rl", F.row_number().over(w_dup)).filter(
+        F.col("rl") == 1)
+    w_final = Window.partitionBy(doc_col).orderBy("pos0")
+    return (
+        first.withColumn("pos", F.row_number().over(w_final))
+        .filter(F.col("pos") <= top_k)
+        .select(doc_col, "pos", "keyword")
     )
 
 

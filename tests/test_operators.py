@@ -426,3 +426,101 @@ def test_classify_address_and_profiles(spark):
                                            " apple apple iron")
                      .otherwise(F.lit(""))), prof).alias("l")).collect()}
     assert lab[2] == "fruit" and lab[1] == "other"
+
+
+# ------------------------------------------------- pagerank / textrank
+
+
+def _ref_pagerank(edges, d=0.85, iters=10, nodes=None):
+    """Driver-side reference: same fixed-iteration weighted pagerank
+    with uniform dangling redistribution (networkx semantics)."""
+    if nodes is None:
+        nodes = sorted({i for i, _j, _w in edges} | {j for _i, j, _w in edges})
+    n = len(nodes)
+    outw = {}
+    for i, _j, w in edges:
+        outw[i] = outw.get(i, 0.0) + w
+    r = {i: 1.0 / n for i in nodes}
+    for _ in range(iters):
+        dm = sum(r[i] for i in nodes if i not in outw)
+        nxt = {j: (1 - d) / n + d * dm / n for j in nodes}
+        for i, j, w in edges:
+            nxt[j] += d * r[i] * w / outw[i]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_reference_including_dangling(spark):
+    # node 3 is dangling (incoming only); weighted asymmetric graph
+    edges = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0), (1, 3, 3.0)]
+    df = spark.createDataFrame(
+        [("d", s, t, w) for s, t, w in edges],
+        ["doc_id", "src", "dst", "weight"])
+    got = {r["id"]: r["rank"] for r in similarity.pagerank(
+        df, iters=10).collect()}
+    want = _ref_pagerank(edges, iters=10)
+    assert got.keys() == want.keys()
+    for i in want:
+        assert abs(got[i] - want[i]) < 1e-9, i
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_textrank_keywords_chain(spark):
+    """Full chain equivalence: token embeddings -> per-doc knn edges ->
+    weighted pagerank -> deduped top-k labels, checked against a
+    driver-side numpy/python reference of the identical chain (two
+    docs, duplicate labels, asymmetric similarity structure)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    k, max_dist, iters, top_k = 3, 0.6, 8, 4
+    rows, want = [], {}
+    for doc in ("d1", "d2"):
+        n = 7
+        labels = [f"w{(i * 3 + (doc == 'd2')) % 5}" for i in range(n)]
+        vecs = rng.normal(size=(n, 16))
+        vecs[3] = vecs[0] * 0.7 + vecs[1] * 0.3  # asymmetric hub structure
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        for t in range(n):
+            rows.append((doc, t, labels[t], [float(x) for x in vecs[t]]))
+        # ---- reference chain
+        cos = vecs @ vecs.T
+        edges = []
+        for i in range(n):
+            order = sorted((j for j in range(n) if j != i),
+                           key=lambda j: (-cos[i, j], j))
+            for j in order[:k]:
+                if 1.0 - cos[i, j] <= max_dist:
+                    edges.append((i, j, cos[i, j]))
+        r = _ref_pagerank(edges, iters=iters, nodes=list(range(n)))
+        ranked = sorted(r, key=lambda i: (-round(r[i], 6), i))
+        seen, kws = set(), []
+        for i in ranked:
+            if labels[i] not in seen:
+                seen.add(labels[i])
+                kws.append(labels[i])
+        want[doc] = kws[:top_k]
+
+    df = spark.createDataFrame(rows, ["doc_id", "tok_id", "token", "embedding"])
+    out = similarity.textrank_keywords(
+        df, top_k=top_k, k=k, max_dist=max_dist, iters=iters).collect()
+    got = {}
+    for row in sorted(out, key=lambda rr: (rr["doc_id"], rr["pos"])):
+        got.setdefault(row["doc_id"], []).append(row["keyword"])
+    assert got == want
+
+
+def test_knn_graph_size_gate_routes_to_lsh(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(30)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # clones
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    gated = similarity.knn_graph(e, k=2, max_dist=0.1, exact_max=10, dim=16)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # corpus never broadcast
+    lsh = similarity.knn_graph_lsh(e, k=2, max_dist=0.1, dim=16)
+    assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, lsh.collect()))
