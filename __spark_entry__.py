@@ -429,6 +429,18 @@ def q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.sections_extract(el)
 
 
+def q_file_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file_meta projection (document.py:400-415): filename/path/
+    doc_type/n_pages/n_words/ad_ratio/language in one codegen select,
+    over a synthesized path column."""
+    d = _docs(spark, sf_dir).withColumn(
+        "path",
+        F.concat(F.lit("corpus/shard0/doc_"),
+                 F.col("doc_id").cast("string"), F.lit(".txt")),
+    )
+    return textstats.file_meta(d, path_col="path")
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data quality scoring; DuckDB twin mirrors the exact
     IEEE-754 expression tree (textstats.quality_score_sql)."""
@@ -822,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_type_dispatch": q_doc_type_dispatch,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
+        "file_meta": q_file_meta,
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
@@ -1015,6 +1028,24 @@ def oracle_sql() -> dict[str, str]:
     lang_oracle = (
         "SELECT doc_id, " + textstats.lang_id_sql("text") + " AS lang_pred FROM documents"
     )
+    ad_expr = (
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CASE WHEN "
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) + "
+        "length(regexp_replace(text, '[^0-9]', '', 'g')) > 0 THEN "
+        "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) + "
+        "length(regexp_replace(text, '[^0-9]', '', 'g')) ELSE 1 END"
+    )
+    file_meta_oracle = rf"""
+    SELECT doc_id,
+           'corpus/shard0/doc_' || doc_id || '.txt' AS path,
+           'doc_' || doc_id || '.txt' AS filename,
+           {dispatch.doc_type_sql("text")} AS doc_type,
+           CAST(1 + floor(length(text) / 1000) AS INT) AS n_pages,
+           len(regexp_extract_all(text, '\S+')) AS n_words,
+           round({ad_expr}, 4) AS ad_ratio,
+           {textstats.lang_id_sql("text")} AS language
+    FROM documents
+    """
     fp_oracle = (
         "SELECT doc_id, " + textstats.fingerprint_sql("text") + " AS fp FROM documents"
     )
@@ -1414,6 +1445,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_type_dispatch": dispatch_oracle,
         "token_stats": token_oracle,
         "lang_id": lang_oracle,
+        "file_meta": file_meta_oracle,
         "fingerprint": fp_oracle,
         "exact_dedup": exact_dedup_oracle,
         "minhash_signature": minhash_oracle,

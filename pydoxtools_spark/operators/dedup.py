@@ -224,17 +224,27 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
     num_perm: int = MINHASH_NUM_PERM,
     bands: int = MINHASH_BANDS,
+    storage_path: str | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash LSH, verified by
     estimated Jaccard = matching signature positions / num_perm.
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    storage_path: production signature materialization — signatures are
+    WRITTEN to this parquet path and the band/verify stages read the
+    written table (executor-loss safe, reusable across runs; the
+    cluster-scale form).  Default None keeps the single-job
+    localCheckpoint form (lineage truncation only — an executor loss
+    forces a full restart, acceptable when the whole job is one
+    retryable unit)."""
     # Stage 1: materialize signatures ONCE (downstream uses them three
-    # times: band explode + two verify joins).  At production scale this
-    # stage is a written signatures table; localCheckpoint is its
-    # single-job equivalent.
-    sigs = minhash_signatures_fast(
-        df, text_col, id_col, num_perm=num_perm
-    ).localCheckpoint(eager=True)
+    # times: band explode + two verify joins).
+    sigs = minhash_signatures_fast(df, text_col, id_col, num_perm=num_perm)
+    if storage_path:
+        sigs.write.mode("overwrite").parquet(storage_path)
+        sigs = df.sparkSession.read.parquet(storage_path)
+    else:
+        sigs = sigs.localCheckpoint(eager=True)
 
     # Stage 2: LSH band join on ids only (narrow shuffle rows)
     banded = sigs.select(

@@ -148,6 +148,29 @@ def lang_id_sql(expr: str) -> str:
     return f"CASE {cond} ELSE 'unknown' END"
 
 
+def file_meta(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              path_col: str | None = None) -> DataFrame:
+    """Fast-to-calculate per-document metadata (reference file_meta,
+    document.py:400-415: filename, document_type, path, num_pages,
+    num_words, a_d_ratio, language) as ONE whole-stage-codegen
+    projection — every component is an existing pure-SQL operator."""
+    from ..dispatch import doc_type_col
+
+    c = F.col(text_col)
+    path = F.col(path_col) if path_col else F.lit(None).cast("string")
+    return df.select(
+        id_col,
+        path.alias("path"),
+        F.element_at(F.split(path, "/"), -1).alias("filename"),
+        doc_type_col(c).alias("doc_type"),
+        num_pages_text(c).alias("n_pages"),
+        num_words(c).alias("n_words"),
+        F.round(a_d_ratio(c), 4).alias("ad_ratio"),
+        lang_id(c).alias("language"),
+    )
+
+
 # --------------------------------------------------------- fingerprint
 
 

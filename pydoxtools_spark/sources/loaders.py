@@ -102,6 +102,59 @@ def docs_from_records(spark: SparkSession, records: list[dict]) -> DataFrame:
     return spark.createDataFrame(records)
 
 
+def docs_from_yaml(df: DataFrame, yaml_col: str = "yaml",
+                   id_col: str = "doc_id") -> DataFrame:
+    """YAML documents -> flattened (key, value) rows — the reference's
+    application/x-yaml pipeline (document.py:756-802: yaml load ->
+    dict branch -> flatten_dict -> 'k: v' TextBox rows).  Nested
+    mappings flatten to dotted keys, list items to key.<index>.
+
+    Gated on pyyaml: raises ImportError at CALL time when the lib is
+    absent (the json/records loaders cover the shape without it).
+    safe_load, not the reference's unsafe_load — arbitrary-object
+    construction from corpus bytes is a non-goal.  Parse failures emit
+    a (doc_id, NULL, NULL) row, mirroring docs_from_json's
+    explode_outer on unparseable payloads."""
+    try:
+        import yaml  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env without pyyaml
+        raise ImportError(
+            "docs_from_yaml requires pyyaml; use docs_from_json/"
+            "docs_from_records otherwise") from e
+
+    def kernel(batches):
+        import pandas as pd
+        import yaml as _yaml
+
+        def flat(prefix, v, out):
+            if isinstance(v, dict):
+                for k, sub in v.items():
+                    flat(f"{prefix}.{k}" if prefix else str(k), sub, out)
+            elif isinstance(v, (list, tuple)):
+                for i, sub in enumerate(v):
+                    flat(f"{prefix}.{i}" if prefix else str(i), sub, out)
+            else:
+                out.append((prefix, None if v is None else str(v)))
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf[id_col], pdf[yaml_col]):
+                try:
+                    data = _yaml.safe_load(raw or "")
+                except Exception:
+                    data = None
+                if not isinstance(data, (dict, list)):
+                    rows.append((doc_id, None, None))
+                    continue
+                kv: list[tuple[str, str | None]] = []
+                flat("", data, kv)
+                rows.extend((doc_id, k, v) for k, v in kv)
+            yield pd.DataFrame(rows, columns=[id_col, "key", "value"])
+
+    return df.select(id_col, yaml_col).mapInPandas(
+        kernel, f"{id_col} string, key string, value string")
+
+
 # ------------------------------------------------------------------ sinks
 
 

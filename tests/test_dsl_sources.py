@@ -3,6 +3,8 @@ incremental streaming facade (§2.10)."""
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from pydoxtools_spark.plans.pipeline_dsl import PipelineDSL
@@ -114,3 +116,20 @@ def test_sql_table_loader_partitioned_roundtrip(spark, tmp_path):
     assert got.rdd.getNumPartitions() == 4
     rows = {r["ID"] if "ID" in r else r["id"]: r[1] for r in got.collect()}
     assert len(rows) == 120 and rows[7] == "doc 7"
+
+
+def test_docs_from_yaml_flattening(spark):
+    pytest.importorskip("yaml")
+    from pydoxtools_spark.sources.loaders import docs_from_yaml
+
+    good = "a: 1\nb:\n  c: x\n  d: [u, v]\nempty:\n"
+    rows = spark.createDataFrame(
+        [("d1", good), ("d2", ": bad\n\t: yaml :")],
+        ["doc_id", "yaml"])
+    out = docs_from_yaml(rows).collect()
+    got = {(r["doc_id"], r["key"]): r["value"] for r in out}
+    assert got[("d1", "a")] == "1"
+    assert got[("d1", "b.c")] == "x"
+    assert got[("d1", "b.d.0")] == "u" and got[("d1", "b.d.1")] == "v"
+    assert got[("d1", "empty")] is None
+    assert got[("d2", None)] is None  # parse failure contained
