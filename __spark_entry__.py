@@ -1005,7 +1005,7 @@ def oracle_sql() -> dict[str, str]:
       greatest(len(regexp_extract_all(text, '[.!?]+(\s|$)')), 1) AS n_sents
     FROM documents
     """
-    full_text_oracle = """
+    full_text_oracle = r"""
     SELECT doc_id,
            'Doc ' || doc_id || chr(10) || chr(10)
              || regexp_replace(trim(text), '\s+', ' ', 'g') AS full_text
@@ -1085,7 +1085,7 @@ def oracle_sql() -> dict[str, str]:
         f"list_aggregate(list_transform(hs, h -> (h * {a} + {b}) % {_MH_P}), 'min')"
         for a, b in params16
     )
-    minhash_fast_oracle = f"""
+    minhash_fast_oracle = rf"""
     WITH d AS (
       SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
       FROM documents
@@ -1101,7 +1101,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # LSH pairs oracle: same signatures over base+planted-near-dup corpus,
     # band join (4 bands x 4 rows), est_jaccard = matching positions / 16
-    lsh_oracle = f"""
+    lsh_oracle = rf"""
     WITH u AS (
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -1186,7 +1186,7 @@ def oracle_sql() -> dict[str, str]:
         "AS bucket FROM e)"
         for r in range(3)
     )
-    knn_lsh_oracle = f"""
+    knn_lsh_oracle = rf"""
     WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     e AS (
       SELECT * FROM e0

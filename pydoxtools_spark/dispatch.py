@@ -33,6 +33,18 @@ MD_PATTERNS = [
     r"(?m)^\|.+\|\s*$",       # pipe tables
 ]
 
+# Cheap single-regex SUPERSET of "any markdown family or mediawiki
+# marker": a hot-path short-circuit guard in front of the full
+# detection ladder (14 regex scans per payload).  guard == False
+# implies doc_type_col() can never return markdown/mediawiki (every
+# MD_PATTERNS family and every MEDIAWIKI_SNIFF arm implies one of
+# these markers), so routing on `guard AND ladder` is exactly
+# equivalent — plain prose pays ONE regex scan instead of fourteen.
+MARKUP_GUARD = (
+    r"(?m)^(#{1,6} |> |[-*+] |\d+\. |```|[-=]{3}|\||== )"
+    r"|\[\[|\{\{|\*\*|`|\[[^\]]+\]\("
+)
+
 HTML_SNIFF = r"(?is)<\s*(!doctype\s+html|html|head|body|div|p|table)\b"
 XML_SNIFF = r"(?s)^\s*<\?xml"
 MEDIAWIKI_SNIFF = r"\{\{[^}]*\}\}|\[\[[^\]]*\]\]|(?m)^== .* ==\s*$"

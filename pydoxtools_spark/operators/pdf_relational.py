@@ -50,20 +50,6 @@ from ..constants import (
 )
 from ..functions.spantext import CELL_SEP, ROW_SEP
 
-AREA = StructType(
-    [
-        StructField("doc_id", StringType(), False),
-        StructField("p_num", IntegerType(), False),
-        StructField("area_id", IntegerType(), False),
-        StructField("ax0", DoubleType(), False),
-        StructField("ay0", DoubleType(), False),
-        StructField("ax1", DoubleType(), False),
-        StructField("ay1", DoubleType(), False),
-        StructField("row_b", ArrayType(DoubleType()), False),
-        StructField("col_b", ArrayType(DoubleType()), False),
-    ]
-)
-
 # item rows joined back into the extraction pipeline:
 # (ref, p_num, y0, x0, kind, text, media_ref)
 ITEM = StructType(
@@ -79,44 +65,43 @@ ITEM = StructType(
 )
 
 
-def _graphics_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel over one (doc_id, page_bucket) group of
-    GRAPHIC rows only: numpy clustering -> candidate areas + borders."""
-    from ..functions.pdflayout import detect_table_areas
-
-    rows = []
-    doc_id = pdf["doc_id"].iloc[0]
-    for p, page in pdf.groupby("p_num"):
-        areas = detect_table_areas(page[["x0", "y0", "x1", "y1"]].to_numpy(float))
-        for aid, (ax0, ay0, ax1, ay1, row_b, col_b) in enumerate(areas):
-            rows.append(
-                (doc_id, int(p), aid, ax0, ay0, ax1, ay1,
-                 [float(v) for v in row_b], [float(v) for v in col_b])
-            )
-    return pd.DataFrame(rows, columns=[f.name for f in AREA.fields])
-
-
-# full-fidelity table rows: one VALID table per row with its exact bbox
-TABLE_FULL = StructType(
+# per-page routed kernel output: ruled-grid candidate areas (borders,
+# cell assignment continues relationally) OR finished full-fidelity
+# tables (chars pages), discriminated by `kind`
+ROUTED = StructType(
     [
         StructField("doc_id", StringType(), False),
         StructField("p_num", IntegerType(), False),
+        StructField("kind", StringType(), False),  # 'area' | 'table'
+        StructField("area_id", IntegerType(), False),
         StructField("x0", DoubleType(), False),
         StructField("y0", DoubleType(), False),
         StructField("x1", DoubleType(), False),
         StructField("y1", DoubleType(), False),
-        StructField("text", StringType(), False),
+        StructField("row_b", ArrayType(DoubleType()), True),
+        StructField("col_b", ArrayType(DoubleType()), True),
+        StructField("text", StringType(), True),
     ]
 )
 
 
-def _table_kernel_chars(pdf: pd.DataFrame) -> pd.DataFrame:
+def _page_router_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas kernel over one (doc_id, page_bucket) group of
-    GRAPHIC + CHAR rows: the full reference table pipeline (word
-    rebuild -> sweep-line cells -> spanning grid -> frozen validity
-    tree, functions/tablecells.py) producing finished VALID tables.
-    Page-local: giant docs parallelize by page bucket exactly like the
-    grid kernel."""
+    GRAPHIC + CHAR rows, routing PER PAGE exactly like the canonical
+    oracle (functions/pdflayout.extract_pdf_items:383-407):
+
+      page has Char rows  -> full reference table pipeline (word
+                             rebuild -> sweep-line -> spanning grid ->
+                             frozen validity tree) -> finished 'table'
+                             rows
+      page has none       -> numpy area clustering only -> 'area' rows
+                             (cell assignment / render / validity stay
+                             relational, whole-stage codegen)
+
+    One kernel pass, same group count as a graphics-only kernel — the
+    routing adds NO joins or extra shuffles; Char rows add shuffle
+    volume only on corpora that carry them."""
+    from ..functions.pdflayout import detect_table_areas
     from ..functions.spantext import table_to_text
     from ..functions.tablecells import extract_page_tables_full
 
@@ -127,31 +112,34 @@ def _table_kernel_chars(pdf: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
             continue
         ch = page[page["type"] == "Char"]
-        full = extract_page_tables_full(
-            g[["x0", "y0", "x1", "y1"]].to_numpy(float),
-            ch[["x0", "y0", "x1", "y1"]].to_numpy(float),
-            ch["rawtext"].tolist(),
-        )
-        for (bx0, by0, bx1, by1), grid in full:
-            rows.append((doc_id, int(p), bx0, by0, bx1, by1, table_to_text(grid)))
-    return pd.DataFrame(rows, columns=[f.name for f in TABLE_FULL.fields])
+        if len(ch):
+            full = extract_page_tables_full(
+                g[["x0", "y0", "x1", "y1"]].to_numpy(float),
+                ch[["x0", "y0", "x1", "y1"]].to_numpy(float),
+                ch["rawtext"].tolist(),
+            )
+            for aid, ((bx0, by0, bx1, by1), grid) in enumerate(full):
+                rows.append((doc_id, int(p), "table", aid, bx0, by0, bx1, by1,
+                             None, None, table_to_text(grid)))
+        else:
+            areas = detect_table_areas(g[["x0", "y0", "x1", "y1"]].to_numpy(float))
+            for aid, (ax0, ay0, ax1, ay1, row_b, col_b) in enumerate(areas):
+                rows.append(
+                    (doc_id, int(p), "area", aid, ax0, ay0, ax1, ay1,
+                     [float(v) for v in row_b], [float(v) for v in col_b],
+                     None)
+                )
+    return pd.DataFrame(rows, columns=[f.name for f in ROUTED.fields])
 
 
-
-def _grid_tables(graphics, lines, pages_per_bucket: int):
-    """Ruled-grid table path (relational): graphics kernel finds
-    areas+borders; cell assignment, grid render and validity run as
-    whole-stage-codegen Spark SQL.  `graphics` carries the Graphic rows
-    of the pages routed to this path (doc_id, p_num, x0..y1,
-    page_bucket).  Returns (tables ITEM rows, valid_areas for the
-    covered-box anti-join)."""
-    # areas is consumed three times (cell assignment, grid metadata,
-    # covered-box anti-join); persist so the python kernel runs once.
-    # Size is bounded: a few rows per page WITH a ruled table.
-    areas = graphics.groupBy("doc_id", "page_bucket").applyInPandas(
-        _graphics_kernel, AREA
-    ).persist()
-
+def _grid_tables(areas, lines):
+    """Ruled-grid table path (relational): candidate areas+borders come
+    from the routed kernel; cell assignment, grid render and validity
+    run as whole-stage-codegen Spark SQL.  `areas` carries (doc_id,
+    p_num, area_id, ax0..ay1, row_b, col_b) of the pages routed to this
+    path (already persisted upstream — consumed three times: cell
+    assignment, grid metadata, covered-box anti-join).  Returns
+    (tables ITEM rows, valid_areas for the covered-box anti-join)."""
     # ---------------- cell assignment: equi-join on (doc, page) then
     # containment filter; cell index by counting borders <= center
     # (the relational form of np.searchsorted)
@@ -308,29 +296,22 @@ def pdf_layout_items(pdf_elements: DataFrame,
         .agg((F.median("font_size") * F.lit(TITLE_SIZE_RATIO)).alias("size_cut"))
     )
 
-    # ---------------- per-page path routing: the (doc, page) set that
-    # carries Char rows.  Tiny relative to el (one row per char-bearing
-    # page) — AQE turns the semi/anti joins below into broadcast joins
-    # at runtime, so routing adds no extra shuffle of the element bulk.
-    char_pages = (
-        el.filter(F.col("type") == "Char").select("doc_id", "p_num").distinct()
+    # ---------------- per-page routed table kernel: ONE applyInPandas
+    # pass over Graphic+Char rows decides per page (inside the kernel,
+    # mirroring the oracle) between the finished chars pipeline and
+    # grid candidate areas — no routing joins, no extra shuffles; the
+    # routed output is persisted because it feeds four consumers
+    # (chars tables, grid cell assignment, grid metadata, covered-box
+    # anti-join) and each would re-run the python kernel otherwise.
+    gc = el.filter(F.col("type").isin("Graphic", "Char")).select(
+        "doc_id", "p_num", "type", "x0", "y0", "x1", "y1", "rawtext",
+        (F.col("p_num") / pages_per_bucket).cast("int").alias("page_bucket"),
     )
-
-    # chars kernel: Graphic + Char rows of char-bearing pages only
-    gc = (
-        el.filter(F.col("type").isin("Graphic", "Char"))
-        .join(char_pages, ["doc_id", "p_num"], "left_semi")
-        .select(
-            "doc_id", "p_num", "type", "x0", "y0", "x1", "y1", "rawtext",
-            (F.col("p_num") / pages_per_bucket).cast("int").alias("page_bucket"),
-        )
-    )
-    # consumed twice (table items + covered-box anti-join): persist
-    # so the python kernel runs once per page bucket
-    tbl = gc.groupBy("doc_id", "page_bucket").applyInPandas(
-        _table_kernel_chars, TABLE_FULL
+    routed = gc.groupBy("doc_id", "page_bucket").applyInPandas(
+        _page_router_kernel, ROUTED
     ).persist()
-    tables_chars = tbl.select(
+
+    tables_chars = routed.filter(F.col("kind") == "table").select(
         F.col("doc_id").alias("ref"),
         "p_num",
         "y0",
@@ -339,22 +320,18 @@ def pdf_layout_items(pdf_elements: DataFrame,
         "text",
         F.lit(None).cast("string").alias("media_ref"),
     )
-    valid_chars = tbl.select(
+    valid_chars = routed.filter(F.col("kind") == "table").select(
         "doc_id", "p_num",
         F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
         F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
     )
-
-    # grid path: Graphic rows of the remaining (char-less) pages
-    graphics_grid = (
-        el.filter(F.col("type") == "Graphic")
-        .join(char_pages, ["doc_id", "p_num"], "left_anti")
-        .select(
-            "doc_id", "p_num", "x0", "y0", "x1", "y1",
-            (F.col("p_num") / pages_per_bucket).cast("int").alias("page_bucket"),
-        )
+    areas = routed.filter(F.col("kind") == "area").select(
+        "doc_id", "p_num", "area_id",
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+        "row_b", "col_b",
     )
-    tables_grid, valid_grid = _grid_tables(graphics_grid, lines, pages_per_bucket)
+    tables_grid, valid_grid = _grid_tables(areas, lines)
     tables = tables_chars.unionByName(tables_grid)
     valid_areas = valid_chars.unionByName(valid_grid)
 
