@@ -205,7 +205,7 @@ def q_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((f"media://pdfb/{doc_id}", data))
             yield pd.DataFrame(rows, columns=["ref", "content"])
 
-    blobs = d.mapInPandas(gen_blobs, "ref string, content binary")
+    blobs = d.repartition(32).mapInPandas(gen_blobs, "ref string, content binary")
     out = _extract(spark, docs_in, None, parallelism=8, pdf_blobs=blobs)
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -269,7 +269,9 @@ def q_pdf_table_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((f"media://pdft/{doc_id}", data))
             yield pd.DataFrame(rows, columns=["ref", "content"])
 
-    blobs = d.mapInPandas(gen_blobs, "ref string, content binary")
+    # documents.parquet can be a single file -> repartition so blob
+    # generation and the parse kernel parallelize
+    blobs = d.repartition(32).mapInPandas(gen_blobs, "ref string, content binary")
     out = _extract(spark, docs_in, None, parallelism=8, pdf_blobs=blobs,
                    table_mode="chars")
     return out.select(
@@ -361,7 +363,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=["media_ref", "media_type", "content", "meta"])
 
-    media = d.mapInPandas(gen_media, MEDIA)
+    media = d.repartition(32).mapInPandas(gen_media, MEDIA)
     feats = media_features(media)
     return feats.select(
         F.regexp_extract("media_ref", r"(\d+)$", 1).cast("bigint").alias("doc_id"),
