@@ -462,6 +462,51 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-line removal (C4/RefinedWeb recipe): planted
+    duplicate lines keep their first occurrence, blanks survive."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.col("text"), F.lit("\nrepeat me\nunique "), did,
+        F.lit("\nrepeat me\n\nrepeat me"),
+    )
+    return curation.drop_repeated_lines(
+        d.select("doc_id", payload.alias("text")))
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc boilerplate-line removal: a line shared by >= min_df
+    docs (planted 'shared {id%50}' — 10+ docs at every SF tier) is
+    dropped everywhere; per-doc unique lines survive."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.lit("shared "), (F.col("doc_id") % 50).cast("string"),
+        F.lit("\n"), F.col("text"), F.lit("\nunique line "), did,
+    )
+    return curation.drop_boilerplate_lines(
+        d.select("doc_id", payload.alias("text")), min_df=10)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th doc's 30-word prefix forms
+    a benchmark item; the inverted-index overlap flags exactly the
+    documents embedding those eval items (overlap vs the BENCHMARK
+    shingle set, GPT-3 appendix-C style)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    normed_prefix = F.array_join(
+        F.slice(
+            F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " "),
+            1, 30),
+        " ")
+    bench = d.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("bench_id"), normed_prefix.alias("text"))
+    out = dedup.decontaminate(d, bench, k=5, threshold=0.8)
+    return out.select(
+        "doc_id", "bench_id", F.round("overlap", 4).alias("overlap"))
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     dupes = d.withColumn("doc_id", F.col("doc_id") + 10_000_000)
@@ -696,6 +741,23 @@ def q_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.lit("out").alias("side")))
 
 
+def q_bbox_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boundarybox_intersection_query (cluster_utils.py:660-675):
+    overlap filter with strict comparisons over the synthesized
+    elements table."""
+    d = _docs(spark, sf_dir)
+    el = d.select(
+        "doc_id",
+        (F.col("doc_id") % 500).cast("double").alias("x0"),
+        ((F.col("doc_id") * 7) % 700).cast("double").alias("y0"),
+        ((F.col("doc_id") % 500) + 50.0).alias("x1"),
+        (((F.col("doc_id") * 7) % 700) + 20.0).alias("y1"),
+    )
+    return textops.bbox_intersect_query(
+        el, 100.0, 100.0, 400.0, 500.0, tol=1.0
+    ).select("doc_id", "x0", "y0")
+
+
 def q_text_block_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextBlockClassifier stand-in (extract_classes.py:78-103 contract):
     address detection over blocks, addresses planted in every 4th doc."""
@@ -840,6 +902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
+        "line_dedup": q_line_dedup,
+        "boilerplate_lines": q_boilerplate_lines,
+        "decontaminate": q_decontaminate,
         "minhash_signature": q_minhash_signature,
         "minhash_fast": q_minhash_fast,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -856,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exploded_words": q_exploded_words,
         "text_pieces": q_text_pieces,
         "bbox_query": q_bbox_query,
+        "bbox_intersect": q_bbox_intersect,
         "page_template": q_page_template,
         "area_context": q_area_context,
         "meta_merge": q_meta_merge,
@@ -1051,6 +1117,41 @@ def oracle_sql() -> dict[str, str]:
     fp_oracle = (
         "SELECT doc_id, " + textstats.fingerprint_sql("text") + " AS fp FROM documents"
     )
+    line_dedup_oracle = """
+    SELECT doc_id,
+           text || chr(10) || 'repeat me' || chr(10) || 'unique ' || doc_id
+                || chr(10) AS clean_text
+    FROM documents
+    """
+    boilerplate_oracle = """
+    SELECT doc_id, text || chr(10) || 'unique line ' || doc_id AS clean_text
+    FROM documents
+    """
+    decontaminate_oracle = r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                          ' ') AS ws
+      FROM documents
+    ), dsh AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+4], ' ')) AS sh
+      FROM d, unnest(range(1, greatest(len(ws) - 4, 1) + 1)) AS r(i)
+    ), b AS (
+      SELECT doc_id AS bench_id, ws[1:30] AS bw FROM d WHERE doc_id % 20 = 0
+    ), bsh AS (
+      SELECT DISTINCT bench_id, md5(array_to_string(bw[i:i+4], ' ')) AS sh
+      FROM b, unnest(range(1, greatest(len(bw) - 4, 1) + 1)) AS r(i)
+    ), bs AS (
+      SELECT bench_id, count(*) AS n_b FROM bsh GROUP BY 1
+    ), cm AS (
+      SELECT dsh.doc_id, bsh.bench_id, count(*) AS n_common
+      FROM dsh JOIN bsh ON dsh.sh = bsh.sh GROUP BY 1, 2
+    )
+    SELECT doc_id, bench_id,
+           round(CAST(n_common AS DOUBLE) / n_b, 4) AS overlap
+    FROM cm JOIN bs USING (bench_id)
+    WHERE CAST(n_common AS DOUBLE) / n_b >= 0.8
+    """
     exact_dedup_oracle = r"""
     WITH u AS (
       SELECT doc_id, text FROM documents
@@ -1358,6 +1459,18 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, x0, y0, 'out' FROM el
     WHERE NOT (x0 >= 90 AND x1 <= 410 AND y0 >= 90 AND y1 <= 510)
     """
+    bbox_intersect_oracle = """
+    WITH el AS (
+      SELECT doc_id,
+             CAST(doc_id % 500 AS DOUBLE) AS x0,
+             CAST((doc_id * 7) % 700 AS DOUBLE) AS y0,
+             (doc_id % 500) + 50.0 AS x1,
+             ((doc_id * 7) % 700) + 20.0 AS y1
+      FROM documents
+    )
+    SELECT doc_id, x0, y0 FROM el
+    WHERE y1 > 99.0 AND y0 < 501.0 AND x1 > 99.0 AND x0 < 401.0
+    """
     # CAST: DuckDB sum(BIGINT) yields HUGEINT; Spark yields bigint —
     # without the cast the driver's value-hash differs on equal values
     stats_oracle = ("SELECT CAST(sum(n_chars) AS BIGINT) AS sum_n_chars, "
@@ -1450,6 +1563,9 @@ def oracle_sql() -> dict[str, str]:
         "file_meta": file_meta_oracle,
         "fingerprint": fp_oracle,
         "exact_dedup": exact_dedup_oracle,
+        "line_dedup": line_dedup_oracle,
+        "boilerplate_lines": boilerplate_oracle,
+        "decontaminate": decontaminate_oracle,
         "minhash_signature": minhash_oracle,
         "simhash": simhash_oracle,
         "ngram_jaccard_pairs": ngram_oracle,
@@ -1471,6 +1587,7 @@ def oracle_sql() -> dict[str, str]:
         "exploded_words": words_oracle,
         "text_pieces": text_pieces_oracle,
         "bbox_query": bbox_oracle,
+        "bbox_intersect": bbox_intersect_oracle,
         "page_template": page_template_oracle,
         "area_context": area_context_oracle,
         "meta_merge": ("SELECT doc_id, 'lang=en|n=' || doc_id || "

@@ -72,3 +72,87 @@ def deterministic_split(
         .otherwise("train")
     )
     return df.withColumn("bucket", b).withColumn("split", split)
+
+
+# ------------------------------------------------------- line-level dedup
+
+
+def drop_repeated_lines(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Within-document repeated-line removal (the C4/RefinedWeb recipe:
+    exact duplicate lines inside one document are boilerplate — keep
+    the FIRST occurrence, preserve line order).  Blank lines are
+    preserved as-is (they are structure, not content).
+
+    Pure Spark SQL: posexplode -> row_number window over
+    (doc, trimmed line) -> keep first -> ordered re-assembly.  All
+    shuffles key on doc_id, so the operator scales like any per-doc
+    window; no Python."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim("line"))
+    w = Window.partitionBy("id", "norm").orderBy("pos")
+    kept = lines.withColumn(
+        "rn", F.when(F.col("norm") == "", F.lit(1)).otherwise(
+            F.row_number().over(w))
+    ).filter(F.col("rn") == 1)
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col("line").alias("l")))
+                    ),
+                    lambda x: x["l"],
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
+        .select(F.col("id").alias(id_col), "clean_text")
+    )
+
+
+def drop_boilerplate_lines(df: DataFrame, min_df: int = 10,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Cross-document boilerplate-line removal: a (trimmed, non-blank)
+    line occurring in >= min_df DISTINCT documents is navigation/
+    footer/legal boilerplate — removed from every document.
+
+    Scale shape: the line-frequency table is a map-side-combinable
+    hash-agg; only lines above the cap join back (broadcast-sized by
+    construction — boilerplate is by definition few distinct strings),
+    so the corpus streams through one explode + one broadcast
+    anti-join, the exact stopword-shingle pattern from
+    dedup.ngram_jaccard_pairs."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim("line"))
+    freq = (
+        lines.filter(F.col("norm") != "")
+        .select("id", "norm").distinct()
+        .groupBy("norm").agg(F.count("*").alias("df_cnt"))
+        .filter(F.col("df_cnt") >= min_df)
+    )
+    kept = lines.join(
+        F.broadcast(freq.select("norm")), "norm", "left_anti")
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.col("line").alias("l")))
+                    ),
+                    lambda x: x["l"],
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
+        .select(F.col("id").alias(id_col), "clean_text")
+    )

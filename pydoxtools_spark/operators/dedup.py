@@ -509,3 +509,58 @@ def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+# -------------------------------------------------------- decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    k: int = 13,
+    threshold: float = 0.8,
+    max_df: int = 10_000,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose k-word
+    shingle set covers more than `threshold` of a benchmark item's
+    shingles (the published n-gram decontamination recipe — GPT-3's
+    appendix C used 13-gram collision filtering; overlap is measured
+    against the BENCHMARK item so short eval questions embedded in long
+    documents are still caught).
+
+    Returns (doc_id, bench_id, overlap) for contaminated pairs —
+    anti-join doc_ids against the corpus to drop or quarantine.
+
+    Scale shape: same inverted-index join as ngram_jaccard_pairs —
+    the 10^12-doc corpus side streams through one Generate + hash-agg;
+    the benchmark side is small by nature (thousands of eval items);
+    shingles in > max_df docs are dropped as stopword shingles before
+    the join (bounds posting lists; a benchmark item made ENTIRELY of
+    such shingles cannot be matched — raise max_df if eval items are
+    that generic)."""
+    d = word_shingle_rows(docs, text_col, id_col, k)
+    b = word_shingle_rows(benchmark, bench_text_col, bench_id_col, k) \
+        .withColumnRenamed("id", "bid")
+    bsizes = b.groupBy("bid").agg(F.count("*").alias("n_b"))
+    popular = d.groupBy("sh").agg(F.count("*").alias("df_cnt")).filter(
+        F.col("df_cnt") > max_df
+    )
+    d = d.join(F.broadcast(popular.select("sh")), "sh", "left_anti")
+    common = (
+        d.join(b, "sh")
+        .groupBy(F.col("id").alias("doc_id"), "bid")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(bsizes, "bid")
+        .select(
+            "doc_id",
+            F.col("bid").alias("bench_id"),
+            (F.col("n_common") / F.col("n_b")).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= threshold)
+    )

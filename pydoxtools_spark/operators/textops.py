@@ -78,6 +78,18 @@ def bbox_query(elements: DataFrame, x0: float, y0: float, x1: float, y1: float,
     return elements.filter(~inside if exclude else inside)
 
 
+def bbox_intersect_query(elements: DataFrame, x0: float, y0: float,
+                         x1: float, y1: float, tol: float = 1.0) -> DataFrame:
+    """Overlap filter — boundarybox_intersection_query
+    (cluster_utils.py:660-675): elements whose box INTERSECTS bbox±tol,
+    strict > / < exactly like the reference's .loc chain."""
+    inter = (
+        (F.col("y1") > y0 - tol) & (F.col("y0") < y1 + tol)
+        & (F.col("x1") > x0 - tol) & (F.col("x0") < x1 + tol)
+    )
+    return elements.filter(inter)
+
+
 def area_context(elements: DataFrame, areas: DataFrame,
                  margin: float = 40.0) -> DataFrame:
     """Context around areas: elements within area bbox+margin but NOT

@@ -155,6 +155,36 @@ def docs_from_yaml(df: DataFrame, yaml_col: str = "yaml",
         kernel, f"{id_col} string, key string, value string")
 
 
+def select_keys(df: DataFrame, keys: list[str],
+                renames: dict[str, str] | None = None,
+                id_col: str = "doc_id") -> DataFrame:
+    """DictSelector semantics (reference operators_base.py:344-352) over
+    flattened (id, key, value) rows: keep the requested keys, rename
+    via `renames` (out_name -> source_key), and — exactly like the
+    reference's `selectable.get(a, None)` — emit a NULL-value row for
+    every requested key a document lacks.
+
+    Relational form: the requested-key list is a literal array exploded
+    per document (broadcast-free: the list is part of the plan), then a
+    left join against the key/value rows."""
+    sel = [(k, k) for k in keys] + [
+        (src, out) for out, src in (renames or {}).items()
+    ]
+    pairs = F.array(*[
+        F.struct(F.lit(src).alias("src"), F.lit(out).alias("out"))
+        for src, out in sel
+    ])
+    wanted = (
+        df.select(id_col).distinct()
+        .select(id_col, F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.src").alias("src"), F.col("p.out").alias("out"))
+    )
+    vals = df.select(id_col, F.col("key").alias("src"), "value")
+    return wanted.join(vals, [id_col, "src"], "left").select(
+        id_col, F.col("out").alias("key"), "value"
+    )
+
+
 # ------------------------------------------------------------------ sinks
 
 

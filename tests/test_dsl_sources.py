@@ -133,3 +133,16 @@ def test_docs_from_yaml_flattening(spark):
     assert got[("d1", "b.d.0")] == "u" and got[("d1", "b.d.1")] == "v"
     assert got[("d1", "empty")] is None
     assert got[("d2", None)] is None  # parse failure contained
+
+
+def test_select_keys_dict_selector_semantics(spark):
+    """DictSelector parity (operators_base.py:344-352): requested keys
+    kept, kwargs-style renames applied, missing keys -> NULL rows."""
+    from pydoxtools_spark.sources.loaders import select_keys
+
+    rows = [("d1", "a", "1"), ("d1", "b", "2"), ("d2", "a", "9")]
+    df = spark.createDataFrame(rows, ["doc_id", "key", "value"])
+    out = select_keys(df, ["a"], renames={"bee": "b"})
+    got = {(r["doc_id"], r["key"]): r["value"] for r in out.collect()}
+    assert got == {("d1", "a"): "1", ("d1", "bee"): "2",
+                   ("d2", "a"): "9", ("d2", "bee"): None}

@@ -611,3 +611,42 @@ def test_model_plug_points_batched_contract(spark):
 
     short = modelplug.classify_with_model(df, wrong_count_model).collect()
     assert all("model returned" in r["error"] for r in short)
+
+
+def test_drop_repeated_lines_keep_first_preserve_blanks(spark):
+    from pydoxtools_spark.operators import curation
+
+    text = "alpha\nbeta\nalpha\n\ngamma\n\nbeta\ndelta"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    (row,) = curation.drop_repeated_lines(df).collect()
+    assert row["clean_text"] == "alpha\nbeta\n\ngamma\n\ndelta"
+
+
+def test_drop_boilerplate_lines_cross_doc(spark):
+    from pydoxtools_spark.operators import curation
+
+    rows = [(i, f"COOKIE NOTICE\ncontent {i}\nfooter") for i in range(6)]
+    rows.append((99, "COOKIE NOTICE\nrare line\nsolo 99"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"] for r in
+           curation.drop_boilerplate_lines(df, min_df=5).collect()}
+    # COOKIE NOTICE (df=7) and footer (df=6) cross the cap; per-doc
+    # content survives
+    assert out[0] == "content 0"
+    assert out[99] == "rare line\nsolo 99"
+
+
+def test_decontaminate_flags_embedded_benchmark(spark):
+    bench_text = "what is the capital of france it is paris of course"
+    docs = [
+        (1, "some intro words then " + bench_text + " and trailing words"),
+        (2, "completely unrelated content with many different words here"),
+        (3, bench_text),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, bench_text)], ["bench_id", "text"])
+    out = dedup.decontaminate(df, bench, k=5, threshold=0.8)
+    flagged = {(r["doc_id"], r["bench_id"]): r["overlap"] for r in out.collect()}
+    assert (1, 100) in flagged and flagged[(1, 100)] == 1.0
+    assert (3, 100) in flagged
+    assert (2, 100) not in flagged

@@ -101,3 +101,23 @@ def test_text_pieces_property_reassembly(spark):
         assert {r["piece"]: r["piece_text"].split(" ") for r in rows} == expect
 
     check()
+
+
+def test_bbox_intersect_query_overlap_semantics(spark):
+    """boundarybox_intersection_query (cluster_utils.py:660-675):
+    overlap, not containment — a box straddling the query edge is
+    returned; a fully-outside box is not; strict comparisons at the
+    tol boundary."""
+    from pydoxtools_spark.operators.textops import bbox_intersect_query
+
+    rows = [
+        ("in", 150.0, 150.0, 200.0, 200.0),        # fully inside
+        ("straddle", 50.0, 150.0, 150.0, 200.0),   # crosses left edge
+        ("outside", 500.0, 600.0, 550.0, 650.0),   # disjoint
+        ("edge", 399.0, 150.0, 401.0, 200.0),      # crosses right edge
+        ("at_tol", 401.0, 150.0, 450.0, 200.0),    # x0 == x1+tol: strict < fails
+    ]
+    df = spark.createDataFrame(rows, ["id", "x0", "y0", "x1", "y1"])
+    got = {r["id"] for r in
+           bbox_intersect_query(df, 100.0, 100.0, 400.0, 500.0, tol=1.0).collect()}
+    assert got == {"in", "straddle", "edge"}
