@@ -185,6 +185,56 @@ def select_keys(df: DataFrame, keys: list[str],
     )
 
 
+# ------------------------------------------------------------ vector sink
+
+
+def to_vector_sink(df: DataFrame, path: str, id_col: str = "doc_id",
+                   vec_col: str = "embedding",
+                   document_col: str | None = None,
+                   metadata_col: str | None = None,
+                   mode: str = "overwrite") -> str:
+    """Vector-collection sink — the Spark-native stand-in for the
+    reference's chroma ingestion (add_to_chroma,
+    tests/test_documentbag.py:47-58: ids + embeddings + documents +
+    metadata): the collection lands as a parquet table with exactly the
+    columns a real chroma/faiss ingest consumes, written
+    partition-parallel.  Pair with query_vector_sink for the query
+    side."""
+    doc = (F.col(document_col) if document_col
+           else F.lit(None).cast("string")).alias("document")
+    meta = (F.col(metadata_col) if metadata_col
+            else F.lit(None).cast("string")).alias("metadata")
+    df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("embedding"),
+        doc, meta,
+    ).write.mode(mode).parquet(path)
+    return path
+
+
+def query_vector_sink(spark: SparkSession, path: str, queries: DataFrame,
+                      k: int = 5, query_id_col: str = "query_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Query side of the vector sink (reference `query(...)` closure):
+    cosine top-k of each query vector against the stored collection,
+    documents/metadata joined back.  Broadcasts the query side only —
+    the collection streams (similarity.brute_force_topk; swap in
+    lsh_topk for corpus-scale collections)."""
+    from ..operators.similarity import brute_force_topk
+
+    col = spark.read.parquet(path)
+    hits = brute_force_topk(
+        col.select(F.col("id").alias("vec_id"), "embedding"),
+        queries.select(F.col(query_id_col).alias("vec_id"),
+                       F.col(vec_col).alias("embedding")),
+        k=k,
+    )
+    return hits.join(
+        col.select(F.col("id").alias("neighbor_id"), "document", "metadata"),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "cos_sim", "rank",
+             "document", "metadata")
+
+
 # ------------------------------------------------------------------ sinks
 
 

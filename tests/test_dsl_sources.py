@@ -146,3 +146,26 @@ def test_select_keys_dict_selector_semantics(spark):
     got = {(r["doc_id"], r["key"]): r["value"] for r in out.collect()}
     assert got == {("d1", "a"): "1", ("d1", "bee"): "2",
                    ("d2", "a"): "9", ("d2", "bee"): None}
+
+
+def test_vector_sink_roundtrip(spark, tmp_path):
+    """add_to_chroma stand-in (reference tests/test_documentbag.py:47-58):
+    ingest (id, embedding, document, metadata), query top-k with
+    documents joined back; a planted duplicate embedding ranks first."""
+    from pydoxtools_spark.sources.loaders import (
+        query_vector_sink, to_vector_sink)
+
+    rows = [(i, [float(i == j) for j in range(8)], f"text {i}", "web")
+            for i in range(8)]
+    rows.append((100, rows[3][1], "dup of three", "web"))
+    df = spark.createDataFrame(rows, ["doc_id", "embedding", "full_text", "src"])
+    path = str(tmp_path / "collection.parquet")
+    to_vector_sink(df, path, document_col="full_text", metadata_col="src")
+
+    q = spark.createDataFrame([(3, rows[3][1])], ["query_id", "embedding"])
+    hits = sorted(query_vector_sink(spark, path, q, k=2).collect(),
+                  key=lambda r: r["rank"])
+    assert hits[0]["neighbor_id"] == 100
+    assert hits[0]["document"] == "dup of three"
+    assert hits[0]["metadata"] == "web"
+    assert abs(hits[0]["cos_sim"] - 1.0) < 1e-9
