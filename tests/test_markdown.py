@@ -90,3 +90,34 @@ def test_pipeline_routes_markdown_text_spans(spark):
         ("header", "Title", 0), ("list", "a\nb", 5), ("text", "x y para", 8)]
     assert [(s["kind"], s["text"]) for s in rows["p"]["spans"]] == [
         ("text", "first para"), ("text", "second para")]
+
+
+def test_markdown_property_random_block_sequences():
+    """Property: any block sequence the fixture generator can emit is
+    recovered span-for-span (the generator builds goldens BY
+    CONSTRUCTION; hypothesis varies the rng seed to walk the block
+    grammar — lists/tables/code/images/headers in arbitrary order)."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pydoxtools_spark.fixtures import (
+        _gen_markdown_payload, _gen_wiki_payload)
+    from pydoxtools_spark.functions.markdown import (
+        extract_markdown_spans, extract_wiki_spans)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**6),
+           st.booleans())
+    def check(seed, wiki):
+        rng = random.Random(seed)
+        if wiki:
+            payload, golden = _gen_wiki_payload(rng, 1)
+            got = extract_wiki_spans(payload)
+        else:
+            payload, golden = _gen_markdown_payload(rng, 1)
+            got = extract_markdown_spans(payload)
+        assert got == golden, seed
+
+    check()

@@ -156,3 +156,19 @@ def test_extract_edge_inputs(spark):
         assert rows[d]["spans"] == [] and rows[d]["error"] is None
     assert rows["unknown"]["spans"] == []
     assert "unsupported input kind: future_kind" in rows["unknown"]["error"]
+
+
+def test_flagship_plan_has_no_quadratic_joins(spark):
+    """Plan audit (scale gate): the flagship extraction plan and the
+    new heavy queries contain no CartesianProduct and no
+    BroadcastNestedLoopJoin — every join is an equi/banded join that
+    survives a 100x scale-up."""
+    import __spark_entry__ as em
+
+    for q in ("html_main_content", "markdown_spans", "pdf_table_chars",
+              "line_dedup", "boilerplate_lines", "decontaminate",
+              "textrank_keywords", "media_features"):
+        df = em.queries()[q](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
