@@ -577,7 +577,7 @@ def write_corpus(spark, out_dir: str, n_docs: int, seed: int = 42,
     """
     import pandas as pd
 
-    from .schemas import DOCUMENTS_IN, EXTRACTED, PDF_ELEMENT
+    from .schemas import DOCUMENTS_IN, PDF_ELEMENT
 
     idx_df = spark.range(0, n_docs, 1, partitions)
 

@@ -48,7 +48,7 @@ from ..constants import (
     TITLE_SIZE_RATIO,
     VERTICAL_ORIENTATION,
 )
-from ..functions.spantext import CELL_SEP, ROW_SEP
+from ..functions.spantext import CELL_SEP
 
 # item rows joined back into the extraction pipeline:
 # (ref, p_num, y0, x0, kind, text, media_ref)
