@@ -381,6 +381,7 @@ def extract(
     max_pages: int | None = None,
     table_mode: str = "grid",
     pdf_blobs: DataFrame | None = None,
+    persist_spans: bool = False,
 ) -> DataFrame:
     """documents_in (+ pdf_elements side table, + optional
     pdf_blobs(ref, content binary) for raw-bytes ingestion) -> extracted
@@ -418,6 +419,17 @@ def extract(
     spans = explode_input_spans(documents_in).repartition(
         parallelism, "doc_id", "span_idx"
     )
+    if persist_spans:
+        # One-scan mode: materialize the exploded frame once and let
+        # every branch read the cache instead of re-scanning the source
+        # (each branch otherwise keeps its own scan — filters push
+        # below the exchange, so ReuseExchange never fires).  Trade-off
+        # at 100 TB: the cache is ~corpus-sized on executor disk; use
+        # when the source is remote/expensive to re-read, skip when
+        # local storage is the scarcer resource.
+        from pyspark import StorageLevel
+
+        spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
     out = (
         _text_branch(spans)
         .unionByName(_markdown_branch(spans))

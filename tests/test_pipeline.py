@@ -172,3 +172,16 @@ def test_flagship_plan_has_no_quadratic_joins(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_persist_spans_option_equivalent(spark, corpus):
+    """persist_spans=True (one-scan mode for remote/expensive sources)
+    produces byte-identical output to the default N-scan plan."""
+    docs_df, pdf_df, _exp = corpus
+    a = {r["doc_id"]: r["spans"] for r in
+         extract(spark, docs_df, pdf_df, parallelism=4).collect()}
+    b = {r["doc_id"]: r["spans"] for r in
+         extract(spark, docs_df, pdf_df, parallelism=4,
+                 persist_spans=True).collect()}
+    spark.catalog.clearCache()
+    assert a == b
