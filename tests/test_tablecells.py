@@ -335,3 +335,90 @@ def test_table_kernel_property_random_shapes():
         assert tables[0][1] == exp
 
     check()
+
+
+def test_damaged_blob_chars_table_recovered(spark):
+    """Repair ladder x chars path: a chars-mode table PDF with its
+    xref/trailer stripped goes through the lenient rung and still
+    yields the exact table span."""
+    from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+    from pydoxtools_spark.functions.spantext import table_to_text
+    from pydoxtools_spark.pipeline import extract
+    from pydoxtools_spark.schemas import DOCUMENTS_IN
+
+    tx0, ty1, nr, nc, cw, ch = 72.0, 600.0, 3, 2, 90.0, 20.0
+    ty0 = ty1 - nr * ch
+    lines = [(tx0, ty1 - r * ch, tx0 + nc * cw, ty1 - r * ch)
+             for r in range(nr + 1)]
+    lines += [(tx0 + c * cw, ty0, tx0 + c * cw, ty1) for c in range(nc + 1)]
+    texts, grid = [], []
+    for r in range(nr):
+        row = []
+        for c in range(nc):
+            cell = f"{_word(r * nc + c, 3)} {_word(r + c + 9, 4)}"
+            texts.append((tx0 + c * cw + 4.0, ty1 - (r + 1) * ch + 6.0,
+                          10.0, cell))
+            row.append(cell)
+        grid.append(row)
+    data = build_tiny_pdf([{"texts": texts, "lines": lines}])
+    damaged = data[: data.rfind(b"startxref")]  # strict rung must fail
+
+    blobs = spark.createDataFrame([("media://pdfb/dmg", bytearray(damaged))],
+                                  "ref string, content binary")
+    docs = spark.createDataFrame(
+        [{"doc_id": "dmg", "spans": [{"kind": "pdf_bytes", "text": None,
+                                      "media_ref": "media://pdfb/dmg",
+                                      "offset": 0}]}], schema=DOCUMENTS_IN)
+    (row,) = extract(spark, docs, None, parallelism=2, pdf_blobs=blobs,
+                     table_mode="chars").collect()
+    assert row["error"] is None
+    assert [(s["kind"], s["text"]) for s in row["spans"]] == [
+        ("table", table_to_text(grid))]
+
+
+def test_multipage_chars_doc_page_buckets(spark):
+    """A chars doc spanning 20 pages (> pages_per_bucket=8, so >=3
+    buckets) keeps per-page tables and cross-page reading order."""
+    import pandas as pd
+
+    from pydoxtools_spark.functions.pdflayout import extract_pdf_spans
+    from pydoxtools_spark.pipeline import extract
+    from pydoxtools_spark.schemas import DOCUMENTS_IN, PDF_ELEMENT
+
+    ref = "media://pdf/mp_0"
+    rows = []
+    boxnum = 0
+
+    def el(**kw):
+        nonlocal boxnum
+        boxnum += 1
+        base = dict(
+            doc_id=ref, p_num=0, boxnum=boxnum, linenum=0, type="Text",
+            x0=0.0, y0=0.0, x1=0.0, y1=0.0, rawtext=None,
+            font_name="Helv", font_size=10.0, font_color="#000",
+            mean_char_orientation=0.0, linewidth=None, media_ref=None,
+        )
+        base.update(kw)
+        rows.append(base)
+
+    for p in range(20):
+        el(p_num=p, x0=72.0, y0=740.0, x1=300.0, y1=752.0,
+           rawtext=f"page {p} intro")
+        g, chars, texts, _exp = ruled_table(72.0, 700.0, 3 + p % 2, 2)
+        for (x0, y0, x1, y1) in g:
+            el(p_num=p, type="Graphic", x0=x0, y0=y0, x1=x1, y1=y1,
+               linewidth=1.0)
+        for (x0, y0, x1, y1), t in zip(chars, texts):
+            el(p_num=p, type="Char", x0=x0, y0=y0, x1=x1, y1=y1, rawtext=t)
+
+    want = extract_pdf_spans(pd.DataFrame(rows))
+    assert sum(1 for k, _t, _r in want if k == "table") == 20
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "mp", "spans": [
+            {"kind": "pdf_ref", "text": None, "media_ref": ref, "offset": 0}]}],
+        schema=DOCUMENTS_IN)
+    pdf_df = spark.createDataFrame(rows, schema=PDF_ELEMENT)
+    (out,) = extract(spark, docs, pdf_df, parallelism=4).collect()
+    got = [(s["kind"], s["text"], s["media_ref"]) for s in out["spans"]]
+    assert got == list(want)
