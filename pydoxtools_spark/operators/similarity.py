@@ -505,6 +505,63 @@ def textrank_keywords(
     )
 
 
+def textrank_sentences(
+    df: DataFrame,
+    top_k: int = 3,
+    k: int = 4,
+    max_dist: float = 0.6,
+    iters: int = 10,
+    damping: float = 0.85,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Extractive summary: the top_k most CENTRAL sentences per doc by
+    textrank over a sentence-similarity graph, returned in original
+    document order (the classic extractive recipe; the reference's
+    SimilarityGraph docstring names 'sentence ranks' as a use,
+    extract_index.py:163-169 — its transformer summarizer
+    (nlp_utils.py:488-529) stays an LLM-tier plug point).
+
+    Chain: regex sentence split (the num_sents convention) ->
+    hash_embeddings per sentence -> per-doc knn edges -> weighted
+    pagerank -> top_k by round(rank,6) with sent_idx tie-break ->
+    re-sorted by position.  Every stage is an existing oracle-checked
+    operator; scale properties are theirs."""
+    sents = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.trim(F.col(text_col)), r"(?<=[.!?])\s+")
+        ).alias("sent_idx", "sentence"),
+    ).filter(F.length(F.trim("sentence")) > 0)
+    # unique token id per (doc, sentence) for the embedding helper
+    emb = hash_embeddings(
+        sents.select(
+            F.concat_ws("\x00", "doc_id", F.col("sent_idx").cast("string"))
+            .alias("doc_id"),
+            F.col("sentence").alias("text"),
+        ),
+        dim=dim,
+    ).select(
+        F.split(F.col("doc_id"), "\x00")[0].alias("doc_id"),
+        F.split(F.col("doc_id"), "\x00")[1].cast("int").alias("sent_idx"),
+        "embedding",
+    )
+    tokens = sents.join(emb, ["doc_id", "sent_idx"])
+    ranked = textrank_keywords(
+        tokens.select("doc_id", F.col("sent_idx").alias("tok_id"),
+                      F.col("sentence").alias("token"), "embedding"),
+        top_k=top_k, k=k, max_dist=max_dist, iters=iters, damping=damping,
+    )
+    # summary order = document order, not rank order
+    chosen = ranked.select("doc_id", F.col("keyword").alias("sentence"))
+    ordered = chosen.join(sents, ["doc_id", "sentence"]).groupBy(
+        "doc_id", "sentence").agg(F.min("sent_idx").alias("sent_idx"))
+    w = Window.partitionBy("doc_id").orderBy("sent_idx")
+    return ordered.withColumn("pos", F.row_number().over(w)).select(
+        "doc_id", "pos", "sentence")
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

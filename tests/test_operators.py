@@ -650,3 +650,27 @@ def test_decontaminate_flags_embedded_benchmark(spark):
     assert (1, 100) in flagged and flagged[(1, 100)] == 1.0
     assert (3, 100) in flagged
     assert (2, 100) not in flagged
+
+
+def test_textrank_sentences_extractive_summary(spark):
+    """Extractive summary: returns <= top_k original sentences in
+    document order; repeated-topic sentences (mutually similar under
+    the hash embedding) outrank the lone off-topic one."""
+    topic = "spark shuffle partition skew broadcast join plan"
+    docs = [("d1",
+             f"{topic} alpha. {topic} beta. nothing shared here at all. "
+             f"{topic} gamma. {topic} delta.")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = sorted(similarity.textrank_sentences(df, top_k=3, k=3).collect(),
+                 key=lambda r: r["pos"])
+    sents = [r["sentence"] for r in out]
+    assert 0 < len(sents) <= 3
+    # document order preserved
+    text = docs[0][1]
+    assert [text.find(s) for s in sents] == sorted(text.find(s) for s in sents)
+    # the central (topic) sentences win over the off-topic one
+    assert all(topic in s for s in sents)
+    # deterministic
+    again = sorted(similarity.textrank_sentences(df, top_k=3, k=3).collect(),
+                   key=lambda r: r["pos"])
+    assert [r["sentence"] for r in again] == sents
