@@ -758,6 +758,24 @@ def q_bbox_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "x0", "y0")
 
 
+def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-NER stand-in (EntityExtractor contract,
+    extract_objects.py:18-40): typed entities planted per doc; rows
+    form (doc_id, label, entity)."""
+    from pydoxtools_spark.operators.entities import extract_entities
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    payload = F.concat(
+        F.col("text"),
+        F.lit(" Contact Jane Doe on 2024-01-15 via jane"), did,
+        F.lit("@example.com or https://ex.org/p/"), did,
+        F.lit(" for $"), (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit(".50"),
+    )
+    return extract_entities(d.select("doc_id", payload.alias("text")))
+
+
 def q_text_block_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextBlockClassifier stand-in (extract_classes.py:78-103 contract):
     address detection over blocks, addresses planted in every 4th doc."""
@@ -922,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pieces": q_text_pieces,
         "bbox_query": q_bbox_query,
         "bbox_intersect": q_bbox_intersect,
+        "entities": q_entities,
         "page_template": q_page_template,
         "area_context": q_area_context,
         "meta_merge": q_meta_merge,
@@ -1459,6 +1478,13 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, x0, y0, 'out' FROM el
     WHERE NOT (x0 >= 90 AND x1 <= 410 AND y0 >= 90 AND y1 <= 510)
     """
+    from pydoxtools_spark.operators.entities import entities_sql
+
+    entities_oracle = entities_sql(
+        "(text || ' Contact Jane Doe on 2024-01-15 via jane' || doc_id"
+        " || '@example.com or https://ex.org/p/' || doc_id"
+        " || ' for $' || (doc_id % 90 + 10) || '.50')"
+    )
     bbox_intersect_oracle = """
     WITH el AS (
       SELECT doc_id,
@@ -1588,6 +1614,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pieces": text_pieces_oracle,
         "bbox_query": bbox_oracle,
         "bbox_intersect": bbox_intersect_oracle,
+        "entities": entities_oracle,
         "page_template": page_template_oracle,
         "area_context": area_context_oracle,
         "meta_merge": ("SELECT doc_id, 'lang=en|n=' || doc_id || "

@@ -674,3 +674,17 @@ def test_textrank_sentences_extractive_summary(spark):
     again = sorted(similarity.textrank_sentences(df, top_k=3, k=3).collect(),
                    key=lambda r: r["pos"])
     assert [r["sentence"] for r in again] == sents
+
+
+def test_entities_grouped_form(spark):
+    from pydoxtools_spark.operators.entities import entities_grouped
+
+    text = ("Alice Smith met Bob Jones on 2023-05-01; mail "
+            "a@b.co or see https://x.org/a costing $5.00 and $5.00")
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = {r["label"]: r["entities"] for r in entities_grouped(df).collect()}
+    assert got["NAME"] == ["Alice Smith", "Bob Jones"]
+    assert got["DATE"] == ["2023-05-01"]
+    assert got["EMAIL"] == ["a@b.co"]
+    assert got["URL"] == ["https://x.org/a"]
+    assert got["MONEY"] == ["$5.00"]  # distinct
