@@ -5,11 +5,14 @@ Python appears only in two Arrow-batched kernels):
 
   documents_in (doc_id, spans)
     └─ posexplode(spans) ────────────────────────────┐ single pass
-         ├─ kind='text'   → split/posexplode (pure Spark SQL)
-         ├─ kind='html'   → mapInPandas html kernel
-         ├─ kind='pdf_ref'→ join pdf_elements → per-(doc,page-bucket)
-         │                  applyInPandas layout kernel → join back
-         ├─ kind='image_ref' → projection
+         ├─ kind='text' + plain      → split/posexplode (pure Spark SQL)
+         ├─ kind='text' + md/wiki    → mapInPandas markdown kernel
+         │                             (MARKUP_GUARD-routed dispatch)
+         ├─ kind='html'              → mapInPandas html kernel
+         ├─ kind='pdf_ref'/'pdf_bytes' → join pdf_elements →
+         │     per-(doc,page-bucket) routed table kernel (per-page
+         │     chars/grid decision) → relational assembly → join back
+         ├─ kind='image_ref'         → projection
          └─ union → window(offset) → array_sort → collect per doc
 
 Scale properties (SURVEY.md §4):
