@@ -666,6 +666,34 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(tokens, top_k=5, iters=_TR_ITERS, edges=edges)
 
 
+_TS_ITERS = 6
+
+
+def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive textrank summary (the classic sentence-centrality
+    recipe; the reference's SimilarityGraph names sentence ranks as a
+    use, extract_index.py:163-196) under the oracle: the testdata word
+    stream is wrapped into deterministic 8-word sentences (same regex
+    on both engines), then the REAL chain runs end-to-end — lookbehind
+    sentence split -> hash embeddings -> per-doc knn edges (k=4,
+    max_dist=0.6) -> weighted pagerank (6 iters, dangling mass) ->
+    top-3 by round(rank,6)/sent_idx -> re-sorted to document order.
+    The DuckDB twin unrolls the identical chain; a sentinel-replace
+    split emulates the lookbehind RE2 lacks."""
+    from pydoxtools_spark.operators.similarity import textrank_sentences
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim("text"), r"((\S+\s+){7}\S+)\s+", "$1. "
+        ).alias("text"),
+    )
+    out = textrank_sentences(
+        d, top_k=3, k=4, max_dist=0.6, iters=_TS_ITERS, dim=64)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "pos", "sentence")
+
+
 def q_exploded_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return (
@@ -932,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "knn_graph_lsh": q_knn_graph_lsh,
         "textrank_keywords": q_textrank_keywords,
+        "textrank_summary": q_textrank_summary,
         "embedding_neardup": q_embedding_neardup,
         "dedup_groups": q_dedup_groups,
         "full_text": q_full_text,
@@ -1402,6 +1431,135 @@ def oracle_sql() -> dict[str, str]:
       FROM firsts WHERE rl = 1)
     SELECT doc_id, pos, keyword FROM final WHERE pos <= 5
     """
+    # textrank_summary twin: the SAME chain DuckDB-side, end to end.
+    # Sentence split: RE2 has no lookbehind, so '([.!?])\s+' -> '\1'+NUL
+    # then split on NUL reproduces Spark's (?<=[.!?])\s+ exactly (both
+    # consume the whitespace run).  Pagerank is unrolled with the full
+    # networkx semantics the Spark operator implements, INCLUDING
+    # dangling-mass redistribution (sentence graphs can have isolated
+    # nodes under the max_dist cut, unlike the constructed keyword
+    # graph above).  Double-forcing CASTs keep the IEEE tree identical.
+    ts_iters = "".join(
+        f""", r{t + 1} AS MATERIALIZED (
+      SELECT nn.doc_id, nn.id, nn.n,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+             + CAST(0.85 AS DOUBLE) * (coalesce(c.s, CAST(0 AS DOUBLE))
+                 + coalesce(dm.dm, CAST(0 AS DOUBLE)) / nn.n) AS r
+      FROM nn
+      LEFT JOIN (SELECT ne.doc_id, ne.dst, sum(p.r * ne.p) AS s
+                 FROM ne JOIN r{t} p
+                   ON ne.doc_id = p.doc_id AND ne.src = p.id
+                 GROUP BY 1, 2) c
+        ON nn.doc_id = c.doc_id AND nn.id = c.dst
+      LEFT JOIN (SELECT p.doc_id, sum(p.r) AS dm
+                 FROM r{t} p JOIN dang
+                   ON p.doc_id = dang.doc_id AND p.id = dang.id
+                 GROUP BY 1) dm
+        ON nn.doc_id = dm.doc_id)"""
+        for t in range(_TS_ITERS)
+    )
+    summary_oracle = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(trim(text), '((\S+\s+){{7}}\S+)\s+', '\1. ',
+                            'g') AS text
+      FROM documents),
+    sent AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS sent_idx, parts[i] AS sentence
+      FROM (SELECT doc_id, string_split(
+              regexp_replace(trim(text), '([.!?])(\s+)',
+                             '\1' || chr(0), 'g'),
+              chr(0)) AS parts FROM d),
+           unnest(range(1, len(parts) + 1)) AS rr(i)
+      WHERE length(trim(parts[i])) > 0),
+    wds AS (
+      SELECT doc_id, sent_idx, unnest(string_split(
+        regexp_replace(lower(trim(sentence)), '\s+', ' ', 'g'), ' ')) AS w
+      FROM sent),
+    hh AS (
+      SELECT doc_id, sent_idx,
+             CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS INT)
+               AS bucket,
+             CASE WHEN ('0x' || substr(md5(w), 9, 1))::INT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM wds),
+    sp AS (SELECT doc_id, sent_idx, bucket, CAST(sum(s) AS BIGINT) AS val
+           FROM hh GROUP BY 1, 2, 3 HAVING sum(s) != 0),
+    idx AS (SELECT CAST(t.i AS INT) AS i FROM unnest(range(0, 64)) AS t(i)),
+    keys AS (SELECT DISTINCT doc_id, sent_idx FROM sp),
+    dense AS (
+      SELECT k.doc_id, k.sent_idx, idx.i,
+             CAST(coalesce(sp2.val, 0) AS DOUBLE) AS x
+      FROM keys k CROSS JOIN idx
+      LEFT JOIN sp sp2 ON sp2.doc_id = k.doc_id
+        AND sp2.sent_idx = k.sent_idx AND sp2.bucket = idx.i),
+    vec AS (SELECT doc_id, sent_idx, list(x ORDER BY i) AS v
+            FROM dense GROUP BY 1, 2),
+    nv AS MATERIALIZED (SELECT doc_id, sent_idx,
+                  list_transform(v, x -> x /
+                    (CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                          THEN sqrt(list_dot_product(v, v))
+                          ELSE CAST(1.0 AS DOUBLE) END)) AS v
+           FROM vec),
+    pr AS (
+      SELECT a.doc_id, a.sent_idx AS src, b.sent_idx AS dst,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM nv a JOIN nv b
+        ON a.doc_id = b.doc_id AND a.sent_idx != b.sent_idx),
+    edges AS (
+      SELECT doc_id, src, dst, cos AS w FROM (
+        SELECT doc_id, src, dst, cos,
+               row_number() OVER (PARTITION BY doc_id, src
+                                  ORDER BY cos DESC, dst) AS rnk
+        FROM pr)
+      WHERE rnk <= 4
+        AND CAST(1.0 AS DOUBLE) - cos <= CAST(0.6 AS DOUBLE)),
+    ow AS (SELECT doc_id, src, sum(w) AS ow FROM edges GROUP BY 1, 2),
+    ne AS MATERIALIZED (SELECT e.doc_id, e.src, e.dst, e.w / o.ow AS p
+           FROM edges e JOIN ow o
+             ON e.doc_id = o.doc_id AND e.src = o.src),
+    nodes AS (SELECT doc_id, sent_idx AS id FROM nv),
+    cnt AS (SELECT doc_id, count(*) AS n FROM nodes GROUP BY 1),
+    nn AS MATERIALIZED (SELECT nodes.doc_id, nodes.id, cnt.n
+           FROM nodes JOIN cnt ON nodes.doc_id = cnt.doc_id),
+    dang AS MATERIALIZED (SELECT nn.doc_id, nn.id FROM nn
+             LEFT JOIN ow ON ow.doc_id = nn.doc_id AND ow.src = nn.id
+             WHERE ow.src IS NULL),
+    r0 AS MATERIALIZED (
+      SELECT doc_id, id, n, CAST(1.0 AS DOUBLE) / n AS r FROM nn)
+    {ts_iters},
+    lab AS (SELECT doc_id, sent_idx AS id, sentence FROM sent),
+    p0 AS (
+      SELECT s.doc_id, s.id, l.sentence,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY round(s.r, 6) DESC, s.id) AS pos0
+      FROM r{_TS_ITERS} s JOIN lab l
+        ON s.doc_id = l.doc_id AND s.id = l.id),
+    firsts AS (
+      SELECT doc_id, sentence, pos0,
+             row_number() OVER (PARTITION BY doc_id, sentence
+                                ORDER BY pos0) AS rl
+      FROM p0),
+    topk AS (
+      SELECT doc_id, sentence FROM (
+        SELECT doc_id, sentence,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY pos0) AS pos
+        FROM firsts WHERE rl = 1)
+      WHERE pos <= 3),
+    back AS (
+      SELECT t.doc_id, t.sentence, min(s.sent_idx) AS sent_idx
+      FROM topk t JOIN sent s
+        ON t.doc_id = s.doc_id AND t.sentence = s.sentence
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY sent_idx)
+                AS INT) AS pos,
+           sentence
+    FROM back
+    """
     words_oracle = r"""
     SELECT word, count(*) AS cnt FROM (
       SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
@@ -1604,6 +1762,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": knn_oracle,
         "knn_graph_lsh": knn_lsh_oracle,
         "textrank_keywords": textrank_oracle,
+        "textrank_summary": summary_oracle,
         "embedding_neardup": neardup_oracle,
         "dedup_groups": """
     SELECT doc_id AS id, doc_id AS component FROM documents
