@@ -507,6 +507,49 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "bench_id", F.round("overlap", 4).alias("overlap"))
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (mass-fraction variants): every
+    3rd doc gets a planted duplicate-line + repeated-body payload so
+    line AND n-gram fractions are exercised on both the zero and
+    non-zero paths; the small-vocab corpus makes top-2-gram mass vary
+    per document."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit("\nrepeat line\nrepeat line\n"),
+                F.col("text"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = curation.repetition_signals(d, top_n=2, dup_n=5)
+    return out.select(
+        "doc_id",
+        *[F.round(c, 4).alias(c)
+          for c in ("dup_line_frac", "dup_line_char_frac",
+                    "top_ngram_frac", "dup_ngram_frac")],
+    )
+
+
+def q_duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc substring dedup (Lee et al. 2021 shape): 8-word
+    windows shared by >= 2 docs, merged into maximal word intervals —
+    the small-vocab corpus has natural cross-doc n-gram collisions, so
+    the flag + interval-merge path runs on organic duplication."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return dedup.duplicated_window_spans(d, n=8, min_docs=2)
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain quota sampling: cap each of 7 synthetic
+    domains at 20 docs by md5-of-id rank (stable under resharding and
+    appends, same leakage-safe hash idea as dataset_split)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 7).cast("string").alias("domain"))
+    return curation.quota_sample(d, "domain", 20)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     dupes = d.withColumn("doc_id", F.col("doc_id") + 10_000_000)
@@ -951,6 +994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "boilerplate_lines": q_boilerplate_lines,
         "decontaminate": q_decontaminate,
+        "repetition_signals": q_repetition_signals,
+        "duplicated_windows": q_duplicated_windows,
+        "quota_sample": q_quota_sample,
         "minhash_signature": q_minhash_signature,
         "minhash_fast": q_minhash_fast,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1199,6 +1245,118 @@ def oracle_sql() -> dict[str, str]:
            round(CAST(n_common AS DOUBLE) / n_b, 4) AS overlap
     FROM cm JOIN bs USING (bench_id)
     WHERE CAST(n_common AS DOUBLE) / n_b >= 0.8
+    """
+    # repetition_signals twin: identical mass-fraction trees — every
+    # fraction is one int/int division (sums of exact integers), so the
+    # doubles are IEEE-identical before the shared round(_, 4).
+    repetition_oracle = r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || chr(10) || 'repeat line' || chr(10)
+                       || 'repeat line' || chr(10) || text
+                  ELSE text END AS text
+      FROM documents),
+    lines AS (
+      SELECT doc_id, trim(l) AS line
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+            FROM base)
+      WHERE trim(l) != ''),
+    lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+    lsig AS (
+      SELECT doc_id,
+             (sum(cnt) - count(*)) / sum(cnt) AS dup_line_frac,
+             sum((cnt - 1) * length(line))
+               / sum(cnt * length(line)) AS dup_line_char_frac
+      FROM lc GROUP BY 1),
+    wrds AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g'), ' ') AS w
+      FROM base),
+    g2 AS (
+      SELECT doc_id, array_to_string(w[s:s+1], ' ') AS g
+      FROM wrds, unnest(range(1, len(w))) AS t(s)
+      WHERE len(w) >= 2),
+    g2c AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+    g2m AS (SELECT doc_id, cnt, length(g) AS len,
+                   max(cnt) OVER (PARTITION BY doc_id) AS mx
+            FROM g2c),
+    tsig AS (
+      SELECT doc_id,
+             max(mx) * max(CASE WHEN cnt = mx THEN len END)
+               / sum(cnt * len) AS top_ngram_frac
+      FROM g2m GROUP BY 1),
+    g5 AS (
+      SELECT doc_id, array_to_string(w[s:s+4], ' ') AS g
+      FROM wrds, unnest(range(1, len(w) - 3)) AS t(s)
+      WHERE len(w) >= 5),
+    g5c AS (SELECT doc_id, g, count(*) AS cnt FROM g5 GROUP BY 1, 2),
+    dsig AS (
+      SELECT doc_id,
+             sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END)
+               / sum(cnt * length(g)) AS dup_ngram_frac
+      FROM g5c GROUP BY 1)
+    SELECT b.doc_id,
+           round(coalesce(lsig.dup_line_frac, 0), 4) AS dup_line_frac,
+           round(coalesce(lsig.dup_line_char_frac, 0), 4)
+             AS dup_line_char_frac,
+           round(coalesce(tsig.top_ngram_frac, 0), 4) AS top_ngram_frac,
+           round(coalesce(dsig.dup_ngram_frac, 0), 4) AS dup_ngram_frac
+    FROM (SELECT doc_id FROM base) b
+    LEFT JOIN lsig USING (doc_id)
+    LEFT JOIN tsig USING (doc_id)
+    LEFT JOIN dsig USING (doc_id)
+    """
+    # duplicated_windows twin: flags on the gram TEXT (Spark flags on
+    # its md5 — same set), then the identical prefix-max interval merge.
+    dup_windows_oracle = r"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g'), ' ') AS w
+      FROM documents),
+    win AS (
+      SELECT doc_id, CAST(t.s AS INT) AS s,
+             array_to_string(w[t.s:t.s+7], ' ') AS g
+      FROM w, unnest(range(1, len(w) - 6)) AS t(s)
+      WHERE len(w) >= 8),
+    flg AS (
+      SELECT g FROM (
+        SELECT g, count(DISTINCT doc_id) AS nd FROM win GROUP BY 1)
+      WHERE nd >= 2),
+    hits AS (
+      SELECT doc_id, s, s + 7 AS e FROM win
+      WHERE g IN (SELECT g FROM flg)),
+    iv AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM hits),
+    grp AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1
+                      ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS grp
+      FROM iv)
+    SELECT doc_id, CAST(min(s) AS INT) AS start_word,
+           CAST(max(e) AS INT) AS end_word
+    FROM grp GROUP BY doc_id, grp
+    """
+    quota_sample_oracle = """
+    WITH d AS (
+      SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS domain FROM documents),
+    r AS (
+      SELECT doc_id, domain,
+             CAST(row_number() OVER (
+               PARTITION BY domain
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+               AS sample_rank
+      FROM d)
+    SELECT doc_id, domain, sample_rank FROM r WHERE sample_rank <= 20
     """
     exact_dedup_oracle = r"""
     WITH u AS (
@@ -1750,6 +1908,9 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": line_dedup_oracle,
         "boilerplate_lines": boilerplate_oracle,
         "decontaminate": decontaminate_oracle,
+        "repetition_signals": repetition_oracle,
+        "duplicated_windows": dup_windows_oracle,
+        "quota_sample": quota_sample_oracle,
         "minhash_signature": minhash_oracle,
         "simhash": simhash_oracle,
         "ngram_jaccard_pairs": ngram_oracle,

@@ -156,3 +156,167 @@ def drop_boilerplate_lines(df: DataFrame, min_df: int = 10,
         )
         .select(F.col("id").alias(id_col), "clean_text")
     )
+
+
+# ------------------------------------------------- repetition signals
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-document repetition quality signals — the Gopher-style
+    repetition filters for web-scale corpora (Rae et al. 2021 §A1.1
+    filters on duplicate lines and repeated n-grams; exact fractions
+    here are the deterministic MASS variants so both engines agree
+    bit-for-bit):
+
+      dup_line_frac       duplicate occurrences of a (trimmed,
+                          non-blank) line / total such lines
+      dup_line_char_frac  chars in those duplicate occurrences / chars
+                          in all non-blank lines
+      top_ngram_frac      mass of the most frequent top_n-gram
+                          (count * gram chars, ties -> longest gram) /
+                          total top_n-gram mass
+      dup_ngram_frac      mass of dup_n-grams occurring more than
+                          once / total dup_n-gram mass
+
+    All four are int/int single divisions (IEEE-identical across
+    engines); docs with no qualifying lines/grams get 0.0.  Filter
+    downstream with thresholds of your choice (Gopher drops docs with
+    dup_line_frac > 0.3, top-2-gram fraction > 0.2, ...).
+
+    Scale shape: every aggregate keys on (doc, line|gram) then doc —
+    map-side-combinable hash-aggs, no cross-document join anywhere, so
+    the corpus streams through.  The two gram passes share one scan
+    when the input is cached/persisted; at 100 TB fuse them by passing
+    top_n == dup_n or project `words` once upstream.
+    """
+    from pyspark.sql import Window
+
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+
+    lines = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+        )
+        .select("id", F.trim("raw").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    line_counts = lines.groupBy("id", "line").agg(F.count("*").alias("cnt"))
+    line_sig = line_counts.groupBy("id").agg(
+        ((F.sum("cnt") - F.count("*")) / F.sum("cnt")).alias(
+            "dup_line_frac"),
+        (
+            F.sum((F.col("cnt") - 1) * F.length("line"))
+            / F.sum(F.col("cnt") * F.length("line"))
+        ).alias("dup_line_char_frac"),
+    )
+
+    def gram_counts(n: int) -> DataFrame:
+        w = df.select(
+            F.col(id_col).alias("id"),
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                 r"\s+", " "),
+                " ",
+            ).alias("w"),
+        ).filter(F.size("w") >= n)
+        pos = w.select(
+            "id", "w",
+            F.posexplode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias(
+                "_p", "s"),
+        )
+        g = pos.select(
+            "id",
+            F.array_join(F.slice(F.col("w"), F.col("s"), n), " ").alias("g"),
+        )
+        return (
+            g.groupBy("id", "g")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("len", F.length("g"))
+        )
+
+    topc = gram_counts(top_n)
+    mxw = Window.partitionBy("id")
+    top_sig = (
+        topc.withColumn("mx", F.max("cnt").over(mxw))
+        .groupBy("id")
+        .agg(
+            (
+                F.max("mx")
+                * F.max(F.when(F.col("cnt") == F.col("mx"), F.col("len")))
+                / F.sum(F.col("cnt") * F.col("len"))
+            ).alias("top_ngram_frac")
+        )
+    )
+    dup_sig = gram_counts(dup_n).groupBy("id").agg(
+        (
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * F.col("len"))
+                .otherwise(0)
+            )
+            / F.sum(F.col("cnt") * F.col("len"))
+        ).alias("dup_ngram_frac")
+    )
+
+    out = (
+        ids.join(line_sig, "id", "left")
+        .join(top_sig, "id", "left")
+        .join(dup_sig, "id", "left")
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        *[
+            F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+            for c in ("dup_line_frac", "dup_line_char_frac",
+                      "top_ngram_frac", "dup_ngram_frac")
+        ],
+    )
+
+
+# ----------------------------------------------------- quota sampling
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    id_col: str = "doc_id",
+    salt_partitions: int = 1,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep at most `quota` rows per
+    group, chosen by md5-of-id rank — a reproducible uniform sample
+    that is stable under resharding, re-runs, and appends (a kept row
+    stays kept unless a lower-hash row enters its group), the same
+    leakage-safe-hash idea as deterministic_split.  Standard corpus-
+    balancing move: cap each domain/source/language at a quota.
+
+    Adds `sample_rank` (1-based within group).
+
+    Scale shape: the rank is a per-group window sort — one shuffle on
+    group_col, but a giant group (a mega-domain at 100 TB) becomes ONE
+    task.  `salt_partitions=S > 1` switches to the exact two-level
+    form: rank within (group, salt) subgroups, keep quota from each,
+    re-rank the <= S*quota survivors — exact because the global
+    hash-top-quota of a group is contained in the union of per-salt
+    top-quotas.  Costs one extra (small) shuffle; use S ~ group_size /
+    10^6.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    if salt_partitions > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col).cast("string")),
+                      F.lit(salt_partitions))
+        w1 = Window.partitionBy(F.col(group_col), salt).orderBy(
+            h, F.col(id_col))
+        df = df.withColumn("_pre", F.row_number().over(w1)).filter(
+            F.col("_pre") <= quota).drop("_pre")
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= quota)

@@ -564,3 +564,82 @@ def decontaminate(
         )
         .filter(F.col("overlap") >= threshold)
     )
+
+
+# ----------------------------------------------- substring-level dedup
+
+
+def duplicated_window_spans(
+    docs: DataFrame,
+    n: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document substring duplication: flag every n-WORD window
+    whose exact content appears in >= min_docs distinct documents, and
+    return the flagged regions merged into maximal word intervals per
+    document — the published substring-deduplication recipe for
+    training corpora (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", which removes duplicated 50-token
+    substrings; suffix arrays there, a bucketed hash join here — same
+    output contract, shuffle-friendly).
+
+    Returns (doc_id, start_word, end_word): 1-based inclusive word
+    positions in the whitespace-normalized token stream.  Overlapping
+    and ADJACENT flagged windows merge (window at s covers [s, s+n-1];
+    a window starting at s+n continues the run), so each row is one
+    maximal duplicated region; callers cut or keep-first as policy.
+
+    Scale shape (100 TB): windows are (id, pos, md5) rows through one
+    Generate boundary — the gram TEXT never crosses a shuffle, only
+    its 32-hex hash.  Flagging is distinct(h, id) -> hash-agg count
+    (both map-side combinable, md5 keys uniform so no skew); the
+    flag-back is an equi semi-join on h (the flagged set is corpus-
+    sized in the worst case, so no broadcast).  Interval merging is a
+    per-document prefix-max window — shuffles once on doc_id.
+    """
+    w = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(_norm(F.col(text_col)), " ").alias("w"),
+    ).filter(F.size("w") >= n)
+    pos = w.select(
+        "id", "w",
+        F.posexplode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias(
+            "_p", "s"),
+    )
+    hashed = pos.select(
+        "id", "s",
+        F.md5(F.array_join(F.slice(F.col("w"), F.col("s"), n), " ")).alias(
+            "h"),
+    )
+    flagged = (
+        hashed.select("h", "id").distinct()
+        .groupBy("h").agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h")
+    )
+    hits = hashed.join(flagged, "h", "semi").select(
+        "id", F.col("s"), (F.col("s") + (n - 1)).alias("e"))
+
+    from pyspark.sql import Window
+
+    prev = (
+        Window.partitionBy("id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iv = hits.withColumn("pmax", F.max("e").over(prev)).withColumn(
+        "brk",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax") + 1), 1
+        ).otherwise(0),
+    ).withColumn("grp", F.sum("brk").over(run))
+    return (
+        iv.groupBy("id", "grp")
+        .agg(F.min("s").alias("start_word"), F.max("e").alias("end_word"))
+        .select(F.col("id").alias(id_col), "start_word", "end_word")
+    )

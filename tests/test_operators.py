@@ -688,3 +688,64 @@ def test_entities_grouped_form(spark):
     assert got["EMAIL"] == ["a@b.co"]
     assert got["URL"] == ["https://x.org/a"]
     assert got["MONEY"] == ["$5.00"]  # distinct
+
+
+def test_repetition_signals_extremes(spark):
+    from pydoxtools_spark.operators import curation
+
+    rows = [
+        (1, "a b c d e f g h i j"),            # all unique: every frac 0
+        (2, "x y\nx y\nx y"),                   # 3 identical lines
+        (3, ""),                                # degenerate: all 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           curation.repetition_signals(df).collect()}
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[1]["dup_ngram_frac"] == 0.0
+    assert out[1]["top_ngram_frac"] == pytest.approx(1 / 9)  # 9 2-grams tie
+    # doc 2: 3 lines, 1 distinct -> 2/3 dup; whole stream is "x y x y
+    # x y" -> every 5-gram (2 of them) unique? no: grams "x y x y x"
+    # and "y x y x y" are distinct singletons -> dup_ngram 0; 2-grams:
+    # "x y" x3 (len 3), "y x" x2 (len 3) -> top = 9/15
+    assert out[2]["dup_line_frac"] == pytest.approx(2 / 3)
+    assert out[2]["dup_line_char_frac"] == pytest.approx(2 / 3)
+    assert out[2]["top_ngram_frac"] == pytest.approx(9 / 15)
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert tuple(out[3])[1:] == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_duplicated_window_spans_merges_adjacent_runs(spark):
+    from pydoxtools_spark.operators import dedup
+
+    shared = " ".join(f"w{i}" for i in range(12))  # 12-word shared run
+    rows = [
+        (1, "pre1 " + shared + " post1"),
+        (2, "different opening words here " + shared),
+        (3, "no overlap with anything at all whatsoever honestly"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["doc_id"]): (r["start_word"], r["end_word"]) for r in
+           dedup.duplicated_window_spans(df, n=8, min_docs=2).collect()}
+    # doc1: shared occupies words 2..13 -> five 8-windows (s=2..6) merge
+    # into ONE maximal interval [2, 13]
+    assert out[1] == (2, 13)
+    assert out[2] == (5, 16)
+    assert 3 not in out
+
+
+def test_quota_sample_salted_two_level_is_exact(spark):
+    from pydoxtools_spark.operators import curation
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(200)], ["doc_id", "domain"])
+    plain = curation.quota_sample(df, "domain", 7)
+    salted = curation.quota_sample(df, "domain", 7, salt_partitions=8)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b and len(a) == 21
+    # determinism under resharding
+    c = sorted(map(tuple,
+                   curation.quota_sample(df.repartition(13), "domain", 7)
+                   .collect()))
+    assert a == c
