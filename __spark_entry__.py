@@ -507,6 +507,87 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "bench_id", F.round("overlap", 4).alias("overlap"))
 
 
+def q_textonly_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-only (unruled) table detection under the oracle — reference
+    convert_cells_to_df_text_only (extract_tables.py:610-662).  Three
+    fixture shapes per doc: page 1 is EITHER a y/x-aligned 3x2 grid of
+    text lines (doc_id%4 != 0 -> detected, analytic expected text) OR
+    two-column prose with per-column staggered baselines (doc_id%4 == 0
+    -> row-fill discriminator rejects, no row); page 2 always carries a
+    Graphic row + aligned text (ruled pages belong to the routed
+    kernel -> skipped here).  The oracle renders the analytically known
+    grids through the same ' | '/newline canonical form."""
+    from pydoxtools_spark.operators.pdf_relational import (
+        textonly_tables_from_elements,
+    )
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("did"))
+    did_s = F.col("did").cast("string")
+
+    grid_cells = F.array(*[
+        F.struct(F.lit(r).alias("r"), F.lit(c).alias("c"))
+        for r in range(3) for c in range(2)
+    ])
+
+    def grid_rows(page: int, src: DataFrame) -> DataFrame:
+        return src.select("did", F.explode(grid_cells).alias("rc")).select(
+            did_s.alias("doc_id"),
+            F.lit(page).alias("p_num"),
+            F.lit("Text").alias("type"),
+            (F.lit(50.0) + F.col("rc.c") * 150.0).alias("x0"),
+            (F.lit(690.0) - F.col("rc.r") * 20.0).alias("y0"),
+            (F.lit(110.0) + F.col("rc.c") * 150.0).alias("x1"),
+            (F.lit(700.0) - F.col("rc.r") * 20.0).alias("y1"),
+            F.concat(
+                F.lit("r"), F.col("rc.r"), F.lit("c"), F.col("rc.c"),
+                F.lit("v"),
+                ((F.col("did") + F.col("rc.r") * 2 + F.col("rc.c")) % 7),
+            ).alias("rawtext"),
+        )
+
+    grid_docs = d.filter(F.col("did") % 4 != 0)
+    prose_docs = d.filter(F.col("did") % 4 == 0)
+
+    prose_cells = F.array(*[
+        F.struct(F.lit(x).alias("x"), F.lit(yt).alias("yt"),
+                 F.lit(i).alias("i"))
+        for i, (x, yt) in enumerate(
+            [(50.0, 700.0), (50.0, 688.0), (50.0, 676.0), (50.0, 664.0),
+             (300.0, 697.0), (300.0, 683.0), (300.0, 670.0),
+             (300.0, 658.0)])
+    ])
+    prose = prose_docs.select(
+        "did", F.explode(prose_cells).alias("pc")).select(
+        did_s.alias("doc_id"),
+        F.lit(1).alias("p_num"),
+        F.lit("Text").alias("type"),
+        F.col("pc.x").alias("x0"),
+        (F.col("pc.yt") - 10.0).alias("y0"),
+        (F.col("pc.x") + 60.0).alias("x1"),
+        F.col("pc.yt").alias("y1"),
+        F.concat(F.lit("w"), F.col("pc.i"), F.lit("d"),
+                 F.col("did") % 5).alias("rawtext"),
+    )
+    graphic2 = d.select(
+        did_s.alias("doc_id"), F.lit(2).alias("p_num"),
+        F.lit("Graphic").alias("type"),
+        F.lit(100.0).alias("x0"), F.lit(100.0).alias("y0"),
+        F.lit(200.0).alias("x1"), F.lit(200.0).alias("y1"),
+        F.lit(None).cast("string").alias("rawtext"),
+    )
+    el = (
+        grid_rows(1, grid_docs)
+        .unionByName(prose)
+        .unionByName(graphic2)
+        .unionByName(grid_rows(2, d))
+    )
+    out = textonly_tables_from_elements(el)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "p_num", "x0", "y0", "x1", "y1", "text",
+    )
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (mass-fraction variants): every
     3rd doc gets a planted duplicate-line + repeated-body payload so
@@ -994,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "boilerplate_lines": q_boilerplate_lines,
         "decontaminate": q_decontaminate,
+        "textonly_tables": q_textonly_tables,
         "repetition_signals": q_repetition_signals,
         "duplicated_windows": q_duplicated_windows,
         "quota_sample": q_quota_sample,
@@ -1245,6 +1327,22 @@ def oracle_sql() -> dict[str, str]:
            round(CAST(n_common AS DOUBLE) / n_b, 4) AS overlap
     FROM cm JOIN bs USING (bench_id)
     WHERE CAST(n_common AS DOUBLE) / n_b >= 0.8
+    """
+    # textonly_tables twin: the fixture grids are analytic — page 1 of
+    # every doc_id%4 != 0 doc detects as a 3x2 grid with known cell
+    # values; prose docs are rejected by the row-fill discriminator and
+    # the graphic-carrying page 2 is skipped, so neither emits rows.
+    textonly_oracle = """
+    SELECT doc_id, 1 AS p_num,
+           CAST(50.0 AS DOUBLE) AS x0, CAST(650.0 AS DOUBLE) AS y0,
+           CAST(260.0 AS DOUBLE) AS x1, CAST(700.0 AS DOUBLE) AS y1,
+           'r0c0v' || CAST(doc_id % 7 AS VARCHAR)
+             || ' | r0c1v' || CAST((doc_id + 1) % 7 AS VARCHAR) || chr(10)
+             || 'r1c0v' || CAST((doc_id + 2) % 7 AS VARCHAR)
+             || ' | r1c1v' || CAST((doc_id + 3) % 7 AS VARCHAR) || chr(10)
+             || 'r2c0v' || CAST((doc_id + 4) % 7 AS VARCHAR)
+             || ' | r2c1v' || CAST((doc_id + 5) % 7 AS VARCHAR) AS text
+    FROM documents WHERE doc_id % 4 != 0
     """
     # repetition_signals twin: identical mass-fraction trees — every
     # fraction is one int/int division (sums of exact integers), so the
@@ -1908,6 +2006,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": line_dedup_oracle,
         "boilerplate_lines": boilerplate_oracle,
         "decontaminate": decontaminate_oracle,
+        "textonly_tables": textonly_oracle,
         "repetition_signals": repetition_oracle,
         "duplicated_windows": dup_windows_oracle,
         "quota_sample": quota_sample_oracle,

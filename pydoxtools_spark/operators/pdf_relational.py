@@ -423,3 +423,88 @@ def pdf_layout_items(pdf_elements: DataFrame,
 
     return (tables.unionByName(box_items).unionByName(image_items)
             .unionByName(error_items))
+
+
+# --------------------------------------------- text-only (unruled) tables
+
+TEXTONLY = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("p_num", IntegerType(), False),
+        StructField("x0", DoubleType(), False),
+        StructField("y0", DoubleType(), False),
+        StructField("x1", DoubleType(), False),
+        StructField("y1", DoubleType(), False),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def _textonly_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel over one (doc_id, page_bucket) group of
+    Text+Graphic rows: pages WITHOUT graphics run alignment-based grid
+    detection (functions/textonly_tables.detect_text_only_grid); pages
+    with graphics belong to the ruled/chars routed kernel and are
+    skipped here, so running both ops never double-reports a table."""
+    from ..functions.spantext import table_to_text
+    from ..functions.textonly_tables import detect_text_only_grid
+
+    rows = []
+    doc_id = pdf["doc_id"].iloc[0]
+    for p, page in pdf.groupby("p_num"):
+        if (page["type"] == "Graphic").any():
+            continue
+        t = page[page["type"] == "Text"]
+        if len(t) < 4:
+            continue
+        boxes = t[["x0", "y0", "x1", "y1"]].to_numpy(float)
+        grid = detect_text_only_grid(boxes, t["rawtext"].tolist())
+        if grid is None:
+            continue
+        rows.append(
+            (doc_id, int(p),
+             float(boxes[:, 0].min()), float(boxes[:, 1].min()),
+             float(boxes[:, 2].max()), float(boxes[:, 3].max()),
+             table_to_text(grid))
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in TEXTONLY.fields])
+
+
+def textonly_tables_from_elements(pdf_elements: DataFrame,
+                                  pages_per_bucket: int = 8) -> DataFrame:
+    """Opt-in unruled-table extraction — reference
+    convert_cells_to_df_text_only (extract_tables.py:610-662): infer a
+    cell grid from text-line alignment on pages that carry NO graphic
+    rules.  Not part of the default pipeline (alignment detection can
+    false-positive on multi-column prose; the row-fill discriminator
+    rejects prose, but the default corpus contract only promises ruled
+    tables) — run it as a side channel and union the results.
+
+    Input needs (doc_id, p_num, type, x0, y0, x1, y1, rawtext); feed
+    pre-filtered horizontal text lines for parity with the main path.
+    Returns (doc_id, p_num, bbox, text) with the canonical ' | '/'\\n'
+    table rendering.
+
+    Scale shape: same as the routed table kernel — one applyInPandas
+    pass grouped by (doc, page_bucket) with an explicit repartition on
+    exactly the group keys (the stage is compute-heavy and byte-light,
+    so AQE's byte-based coalescing would serialize it; hashing on the
+    groupBy keys adds no second exchange)."""
+    el = pdf_elements.filter(
+        (F.col("type") == "Graphic")
+        | (
+            (F.col("type") == "Text")
+            & F.col("rawtext").isNotNull()
+            & (F.length(F.trim("rawtext")) > 0)
+        )
+    ).select(
+        "doc_id", "p_num", "type", "x0", "y0", "x1", "y1", "rawtext",
+        (F.col("p_num") / pages_per_bucket).cast("int").alias("page_bucket"),
+    )
+    n_shuffle = int(
+        el.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return (
+        el.repartition(n_shuffle, "doc_id", "page_bucket")
+        .groupBy("doc_id", "page_bucket")
+        .applyInPandas(_textonly_kernel, TEXTONLY)
+    )

@@ -42,3 +42,33 @@ def test_merges_multiline_cell():
     texts = ["a", "b", "c", "d1", "d2"]
     grid = detect_text_only_grid(np.array(boxes), texts, col_tol=80.0)
     assert grid == [["a", "b"], ["c", "d1 d2"]]
+
+
+def test_textonly_spark_operator_routes_and_skips(spark):
+    """Spark-level contract: graphics pages are skipped (they belong to
+    the ruled routed kernel), aligned pages detect, prose rejects."""
+    from pydoxtools_spark.operators.pdf_relational import (
+        textonly_tables_from_elements,
+    )
+
+    rows = []
+    # page 1: aligned 2x2 grid
+    for r, y in enumerate([700.0, 680.0]):
+        for c, x in enumerate([50.0, 200.0]):
+            rows.append(("d1", 1, "Text", x, y - 10, x + 60, y, f"r{r}c{c}"))
+    # page 2: same grid + one graphic rule -> skipped
+    for r, y in enumerate([700.0, 680.0]):
+        for c, x in enumerate([50.0, 200.0]):
+            rows.append(("d1", 2, "Text", x, y - 10, x + 60, y, f"g{r}{c}"))
+    rows.append(("d1", 2, "Graphic", 40.0, 660.0, 280.0, 710.0, None))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, p_num int, type string, x0 double, y0 double,"
+        " x1 double, y1 double, rawtext string",
+    )
+    out = textonly_tables_from_elements(df).collect()
+    assert len(out) == 1
+    (row,) = out
+    assert row["p_num"] == 1
+    assert row["text"] == "r0c0 | r0c1\nr1c0 | r1c1"
+    assert (row["x0"], row["y1"]) == (50.0, 700.0)
