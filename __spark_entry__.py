@@ -622,6 +622,15 @@ def q_duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_window_spans(d, n=8, min_docs=2)
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: corpus-fitted vocabulary,
+    per-doc average negative log word probability (two hash-aggs + one
+    word join; the twin mirrors the identical float tree)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    out = curation.unigram_logprob(d)
+    return out.select("doc_id", F.round("logprob", 4).alias("logprob"))
+
+
 def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-domain quota sampling: cap each of 7 synthetic
     domains at 20 docs by md5-of-id rank (stable under resharding and
@@ -1078,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textonly_tables": q_textonly_tables,
         "repetition_signals": q_repetition_signals,
         "duplicated_windows": q_duplicated_windows,
+        "unigram_logprob": q_unigram_logprob,
         "quota_sample": q_quota_sample,
         "minhash_signature": q_minhash_signature,
         "minhash_fast": q_minhash_fast,
@@ -1443,6 +1453,27 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, CAST(min(s) AS INT) AS start_word,
            CAST(max(e) AS INT) AS end_word
     FROM grp GROUP BY doc_id, grp
+    """
+    # unigram_logprob twin: same tree — ln(total) - sum(k*ln(cnt))/n.
+    # ln differs from the JVM's by <= 1 ulp on some inputs and the
+    # double sum is order-dependent, but round(_,4) of O(1..15) scores
+    # over a fixed corpus leaves ~1e-10 boundary exposure per doc (same
+    # accepted class as the pagerank twins).
+    unigram_logprob_oracle = r"""
+    WITH w AS (
+      SELECT doc_id AS id, unnest(string_split(
+        regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+      FROM documents),
+    wf AS (SELECT id, w FROM w WHERE w != ''),
+    pairs AS (SELECT id, w, count(*) AS k FROM wf GROUP BY 1, 2),
+    vocab AS (SELECT w, sum(k) AS cnt FROM pairs GROUP BY 1),
+    tot AS (SELECT sum(cnt) AS total FROM vocab),
+    sc AS (
+      SELECT id, sum(k * ln(CAST(cnt AS DOUBLE))) AS s, sum(k) AS n
+      FROM pairs JOIN vocab USING (w) GROUP BY 1)
+    SELECT id AS doc_id,
+           round(ln(CAST(total AS DOUBLE)) - s / n, 4) AS logprob
+    FROM sc, tot
     """
     quota_sample_oracle = """
     WITH d AS (
@@ -2009,6 +2040,7 @@ def oracle_sql() -> dict[str, str]:
         "textonly_tables": textonly_oracle,
         "repetition_signals": repetition_oracle,
         "duplicated_windows": dup_windows_oracle,
+        "unigram_logprob": unigram_logprob_oracle,
         "quota_sample": quota_sample_oracle,
         "minhash_signature": minhash_oracle,
         "simhash": simhash_oracle,

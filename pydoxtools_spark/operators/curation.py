@@ -320,3 +320,57 @@ def quota_sample(
     w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
     return df.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= quota)
+
+
+# ------------------------------------------- unigram LM quality score
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram language-model score — the CCNet-style
+    quality signal (Wenzek et al. 2020 buckets documents by LM
+    perplexity; a corpus-fitted UNIGRAM model keeps the whole thing
+    two hash-aggregates and one join, no external model):
+
+        score = avg over word occurrences of -ln(cnt(w) / total)
+              = ln(total) - sum(k_w * ln(cnt(w))) / n
+
+    Low score = common-word prose (head bucket), high score = rare-token
+    noise (tail bucket); threshold or tercile downstream.
+
+    Scale shape (100 TB): occurrences collapse to DISTINCT (doc, word)
+    pairs with a weight BEFORE the vocabulary join (map-side-combinable
+    hash-agg, then the join input is bounded by doc vocabulary, not doc
+    length).  The vocab side is corpus-wide — too big to broadcast at
+    full scale, so it stays a shuffle equi-join on the word; zipfian
+    skew is bounded by the distinct-pair collapse (one row per doc per
+    word, however often "the" repeats) and AQE skew-split handles the
+    rest.  `total` rides along as a 1-row broadcast cross join, not a
+    driver collect."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col(text_col))),
+                                 r"\s+", " "),
+                " ",
+            )
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    pairs = words.groupBy("id", "w").agg(F.count("*").alias("k"))
+    vocab = pairs.groupBy("w").agg(F.sum("k").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = pairs.join(vocab, "w").groupBy("id").agg(
+        F.sum(F.col("k") * F.log(F.col("cnt").cast("double"))).alias("s"),
+        F.sum("k").alias("n"),
+    )
+    return scored.crossJoin(F.broadcast(total)).select(
+        F.col("id").alias(id_col),
+        (
+            F.log(F.col("total").cast("double"))
+            - F.col("s") / F.col("n")
+        ).alias("logprob"),
+    )

@@ -749,3 +749,19 @@ def test_quota_sample_salted_two_level_is_exact(spark):
                    curation.quota_sample(df.repartition(13), "domain", 7)
                    .collect()))
     assert a == c
+
+
+def test_unigram_logprob_known_corpus(spark):
+    import math
+
+    from pydoxtools_spark.operators import curation
+
+    # corpus: 'a' x3, 'b' x2, 'c' x1 -> total 6
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["logprob"] for r in
+           curation.unigram_logprob(df).collect()}
+    t = math.log(6.0)
+    assert out[1] == pytest.approx(t - (2 * math.log(3.0) + math.log(2.0)) / 3)
+    assert out[2] == pytest.approx(
+        t - (math.log(3.0) + math.log(2.0) + math.log(1.0)) / 3)
