@@ -298,14 +298,16 @@ def quota_sample(
 
     Adds `sample_rank` (1-based within group).
 
-    Scale shape: the rank is a per-group window sort — one shuffle on
-    group_col, but a giant group (a mega-domain at 100 TB) becomes ONE
-    task.  `salt_partitions=S > 1` switches to the exact two-level
-    form: rank within (group, salt) subgroups, keep quota from each,
-    re-rank the <= S*quota survivors — exact because the global
-    hash-top-quota of a group is contained in the union of per-salt
-    top-quotas.  Costs one extra (small) shuffle; use S ~ group_size /
-    10^6.
+    Scale shape: plan-audited — Spark plants a PARTIAL WindowGroupLimit
+    below the exchange (each map task pre-prunes to its local top-quota
+    per group), so the shuffle carries at most quota * input_partitions
+    rows per group and the per-group final sort is tiny; the classic
+    "mega-domain becomes one giant sort task" failure mode is already
+    defused by the engine for rank <= k predicates.  `salt_partitions=S
+    > 1` additionally bounds the FINAL per-group task to <= S*quota
+    rows (exact: the global hash-top-quota of a group is contained in
+    the union of per-salt top-quotas) — belt-and-braces for extreme
+    quota * partitions products, one extra small shuffle.
     """
     from pyspark.sql import Window
 
@@ -349,7 +351,12 @@ def unigram_logprob(
     skew is bounded by the distinct-pair collapse (one row per doc per
     word, however often "the" repeats) and AQE skew-split handles the
     rest.  `total` rides along as a 1-row broadcast cross join, not a
-    driver collect."""
+    driver collect.  The (doc, word) pair table feeds three consumers
+    (scoring join, vocab agg, total agg) — persisted so the explode +
+    pair-agg subtree runs once, not three times (plan-audited: the
+    unpersisted form carried three full scans)."""
+    from pyspark import StorageLevel
+
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -360,9 +367,10 @@ def unigram_logprob(
             )
         ).alias("w"),
     ).filter(F.col("w") != "")
-    pairs = words.groupBy("id", "w").agg(F.count("*").alias("k"))
+    pairs = words.groupBy("id", "w").agg(F.count("*").alias("k")).persist(
+        StorageLevel.MEMORY_AND_DISK)
     vocab = pairs.groupBy("w").agg(F.sum("k").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
+    total = pairs.agg(F.sum("k").alias("total"))
     scored = pairs.join(vocab, "w").groupBy("id").agg(
         F.sum(F.col("k") * F.log(F.col("cnt").cast("double"))).alias("s"),
         F.sum("k").alias("n"),

@@ -575,6 +575,7 @@ def duplicated_window_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    storage_path: str | None = None,
 ) -> DataFrame:
     """Cross-document substring duplication: flag every n-WORD window
     whose exact content appears in >= min_docs distinct documents, and
@@ -598,6 +599,13 @@ def duplicated_window_spans(
     flag-back is an equi semi-join on h (the flagged set is corpus-
     sized in the worst case, so no broadcast).  Interval merging is a
     per-document prefix-max window — shuffles once on doc_id.
+
+    The (id, pos, hash) window table feeds two consumers (the flag agg
+    and the semi-join probe side); default is recompute (plan-audited:
+    two scans of the source — CPU over memory, the rows are tokens-
+    sized and rarely worth caching).  storage_path writes them to
+    parquet once and reads for both (the minhash_dedup_pairs
+    materialization pattern: executor-loss safe, reusable across runs).
     """
     w = docs.select(
         F.col(id_col).alias("id"),
@@ -613,6 +621,9 @@ def duplicated_window_spans(
         F.md5(F.array_join(F.slice(F.col("w"), F.col("s"), n), " ")).alias(
             "h"),
     )
+    if storage_path:
+        hashed.write.mode("overwrite").parquet(storage_path)
+        hashed = docs.sparkSession.read.parquet(storage_path)
     flagged = (
         hashed.select("h", "id").distinct()
         .groupBy("h").agg(F.count("*").alias("n_docs"))

@@ -765,3 +765,22 @@ def test_unigram_logprob_known_corpus(spark):
     assert out[1] == pytest.approx(t - (2 * math.log(3.0) + math.log(2.0)) / 3)
     assert out[2] == pytest.approx(
         t - (math.log(3.0) + math.log(2.0) + math.log(1.0)) / 3)
+
+
+def test_duplicated_windows_storage_path_written_table(spark, tmp_path):
+    """storage_path materializes window hashes as a written parquet
+    table: both the flag agg and the probe side read it (no recompute),
+    and the intervals match the default recompute form."""
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [(1, "pre1 " + shared + " post1"),
+            (2, "different opening words here " + shared),
+            (3, "no overlap with anything at all whatsoever honestly")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = str(tmp_path / "winhash.parquet")
+    stored = dedup.duplicated_window_spans(
+        df, n=8, min_docs=2, storage_path=p)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<id:bigint,s:int,h:string>" in plan
+    default = dedup.duplicated_window_spans(df, n=8, min_docs=2)
+    assert sorted(map(tuple, stored.collect())) == \
+        sorted(map(tuple, default.collect()))
