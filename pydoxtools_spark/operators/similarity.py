@@ -376,8 +376,12 @@ def pagerank(
     # doc_knn_edges have NO dangling nodes (every node emits k>=1
     # edges), and dropping the two extra stages per round roughly
     # halves the per-iteration fixed cost.
+    # derived from the PERSISTED ne, not out_w: out_w hangs off the raw
+    # edge plan, so probing it would re-run the caller's whole edge
+    # chain (measured: the textrank_sentences knn chain re-ran here,
+    # ~15 s of the 112 s sf0.1 wall); ne carries the same (g, src) set.
     dangling = nodes.join(
-        out_w.select("g", F.col("src").alias("id")), ["g", "id"], "left_anti"
+        ne.select("g", F.col("src").alias("id")), ["g", "id"], "left_anti"
     ).select("g", "id")
     has_dangling = not dangling.isEmpty()
 
@@ -482,6 +486,16 @@ def textrank_keywords(
     order identically on every engine regardless of float summation
     order.  Pass `edges` to rank an externally built graph (e.g.
     knn_graph_lsh output joined back to docs)."""
+    from pyspark import StorageLevel
+
+    # tokens fan out to three consumers (edge build, node set, label
+    # join) — when they carry an expensive upstream (the sentence
+    # hash-embedding chain), each materialization re-runs it; persist
+    # the narrow projection once.
+    tokens = tokens.select(
+        doc_col, id_col, label_col,
+        *([vec_col] if vec_col in tokens.columns else []),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if edges is None:
         edges = doc_knn_edges(tokens, k=k, max_dist=max_dist,
                               doc_col=doc_col, id_col=id_col, vec_col=vec_col)
@@ -528,12 +542,16 @@ def textrank_sentences(
     pagerank -> top_k by round(rank,6) with sent_idx tie-break ->
     re-sorted by position.  Every stage is an existing oracle-checked
     operator; scale properties are theirs."""
+    from pyspark import StorageLevel
+
+    # consumed by the embedding chain AND the final document-order join
     sents = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.split(F.trim(F.col(text_col)), r"(?<=[.!?])\s+")
         ).alias("sent_idx", "sentence"),
-    ).filter(F.length(F.trim("sentence")) > 0)
+    ).filter(F.length(F.trim("sentence")) > 0).persist(
+        StorageLevel.MEMORY_AND_DISK)
     # unique token id per (doc, sentence) for the embedding helper
     emb = hash_embeddings(
         sents.select(
