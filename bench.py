@@ -41,8 +41,12 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash",
     "ngram_jaccard_pairs",    # production max_df=1000 since r2
+    "duplicated_windows",     # cross-doc substring dedup (r3)
+    "unigram_logprob",        # CCNet-style LM quality score (r3)
+    "repetition_signals",     # Gopher repetition fractions (r3)
     "ann_topk",
     "knn_graph_lsh",          # bucketed KNN graph, no broadcast (r2)
+    "textrank_summary",       # sentence graph -> pagerank chain (r3)
     "token_stats",
     "lang_id",
     "events_rollup",
