@@ -622,6 +622,16 @@ def q_duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_window_spans(d, n=8, min_docs=2)
 
 
+def q_drop_duplicated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al CUT applied to the corpus: duplicated 8-word runs
+    survive only in their canonical (min-id) document and are cut from
+    every other occurrence; clean_text is rebuilt from the surviving
+    normalized word stream (both engines rebuild from the same
+    normalized tokens, so the twin is exact)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return dedup.drop_duplicated_windows(d, n=8, min_docs=2)
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style unigram LM quality score: corpus-fitted vocabulary,
     per-doc average negative log word probability (two hash-aggs + one
@@ -1133,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textonly_tables": q_textonly_tables,
         "repetition_signals": q_repetition_signals,
         "duplicated_windows": q_duplicated_windows,
+        "drop_duplicated_windows": q_drop_duplicated_windows,
         "unigram_logprob": q_unigram_logprob,
         "quota_sample": q_quota_sample,
         "minhash_signature": q_minhash_signature,
@@ -1501,6 +1512,63 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, CAST(min(s) AS INT) AS start_word,
            CAST(max(e) AS INT) AS end_word
     FROM grp GROUP BY doc_id, grp
+    """
+    # drop_duplicated_windows twin: the full cut chain — flag + min-id
+    # canonical, merged non-canonical intervals, word anti-join,
+    # order-preserving rebuild from the shared normalized stream.
+    drop_windows_oracle = r"""
+    WITH w AS (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ',
+                                         'g'), ' ') AS w
+      FROM documents),
+    win AS (
+      SELECT id, CAST(t.s AS INT) AS s,
+             array_to_string(w[t.s:t.s+7], ' ') AS g
+      FROM w, unnest(range(1, len(w) - 6)) AS t(s)
+      WHERE len(w) >= 8),
+    flg AS (
+      SELECT g, min(id) AS canonical
+      FROM (SELECT DISTINCT g, id FROM win)
+      GROUP BY g HAVING count(*) >= 2),
+    cuts AS (
+      SELECT win.id, win.s, win.s + 7 AS e
+      FROM win JOIN flg USING (g) WHERE win.id != flg.canonical),
+    iv AS (
+      SELECT id, s, e,
+             max(e) OVER (PARTITION BY id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM cuts),
+    grp AS (
+      SELECT id, s, e,
+             sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1
+                      ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS grp
+      FROM iv),
+    merged AS (SELECT id, grp, min(s) AS cs, max(e) AS ce
+               FROM grp GROUP BY 1, 2),
+    words AS (
+      SELECT id, CAST(t.p AS INT) AS p, w[t.p] AS word
+      FROM w, unnest(range(1, len(w) + 1)) AS t(p)),
+    hit AS (
+      SELECT DISTINCT words.id, words.p
+      FROM words JOIN merged ON words.id = merged.id
+        AND words.p BETWEEN merged.cs AND merged.ce),
+    kept AS (
+      SELECT words.id, words.p, words.word FROM words
+      ANTI JOIN hit ON words.id = hit.id AND words.p = hit.p),
+    reb AS (SELECT id, string_agg(word, ' ' ORDER BY p) AS clean_text
+            FROM kept GROUP BY id),
+    nc AS (SELECT id, CAST(count(*) AS INT) AS words_cut
+           FROM hit GROUP BY id)
+    SELECT d.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+           coalesce(nc.words_cut, 0) AS words_cut
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN reb ON reb.id = d.doc_id
+    LEFT JOIN nc ON nc.id = d.doc_id
     """
     # unigram_logprob twin: same tree — ln(total) - sum(k*ln(cnt))/n.
     # ln differs from the JVM's by <= 1 ulp on some inputs and the
@@ -2088,6 +2156,7 @@ def oracle_sql() -> dict[str, str]:
         "textonly_tables": textonly_oracle,
         "repetition_signals": repetition_oracle,
         "duplicated_windows": dup_windows_oracle,
+        "drop_duplicated_windows": drop_windows_oracle,
         "unigram_logprob": unigram_logprob_oracle,
         "quota_sample": quota_sample_oracle,
         "minhash_signature": minhash_oracle,

@@ -654,3 +654,106 @@ def duplicated_window_spans(
         .agg(F.min("s").alias("start_word"), F.max("e").alias("end_word"))
         .select(F.col("id").alias(id_col), "start_word", "end_word")
     )
+
+
+def drop_duplicated_windows(
+    docs: DataFrame,
+    n: int = 50,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the Lee-et-al cut to the corpus: for every n-word window
+    content appearing in >= min_docs distinct documents, KEEP the
+    occurrences in the canonical document (the smallest id containing
+    that window — deterministic under resharding) and CUT the flagged
+    word regions everywhere else, then rebuild each document's text
+    from its surviving words.
+
+    Returns (id_col, clean_text, words_cut).  Documents shorter than n
+    words pass through unchanged.  Cut regions are the MERGED maximal
+    intervals of each doc's non-canonical flagged windows (the
+    duplicated_window_spans convention), so partial overlaps with a
+    window the doc IS canonical for still get cut — the policy is
+    "this doc does not own the run, the run goes".
+
+    Scale shape: everything from duplicated_window_spans, plus a
+    min(id)-per-hash agg (map-side combinable), and a per-doc
+    range-membership join of words against that doc's cut intervals —
+    both sides keyed and bounded per document, reassembly is the same
+    sorted collect_list as drop_repeated_lines.
+    """
+    from pyspark.sql import Window
+
+    w = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(_norm(F.col(text_col)), " ").alias("w"),
+    )
+    long_enough = w.filter(F.size("w") >= n)
+    pos = long_enough.select(
+        "id", "w",
+        F.posexplode(F.sequence(F.lit(1), F.size("w") - (n - 1))).alias(
+            "_p", "s"),
+    )
+    hashed = pos.select(
+        "id", "s",
+        F.md5(F.array_join(F.slice(F.col("w"), F.col("s"), n), " ")).alias(
+            "h"),
+    )
+    per_doc = hashed.select("h", "id").distinct()
+    counts = per_doc.groupBy("h").agg(
+        F.count("*").alias("n_docs"), F.min("id").alias("canonical"))
+    flagged = counts.filter(F.col("n_docs") >= min_docs)
+    # non-canonical occurrences only
+    cuts = hashed.join(flagged.select("h", "canonical"), "h").filter(
+        F.col("id") != F.col("canonical")
+    ).select("id", F.col("s"), (F.col("s") + (n - 1)).alias("e"))
+
+    prev = (
+        Window.partitionBy("id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy("id").orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    iv = cuts.withColumn("pmax", F.max("e").over(prev)).withColumn(
+        "brk",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax") + 1), 1
+        ).otherwise(0),
+    ).withColumn("grp", F.sum("brk").over(run))
+    merged = iv.groupBy("id", "grp").agg(
+        F.min("s").alias("cs"), F.max("e").alias("ce"))
+
+    words = w.select(
+        "id", F.posexplode("w").alias("p0", "word")
+    ).select("id", (F.col("p0") + 1).alias("p"), "word")
+    hit = words.join(merged, "id").filter(
+        (F.col("p") >= F.col("cs")) & (F.col("p") <= F.col("ce"))
+    ).select("id", "p").distinct()
+    kept = words.join(hit, ["id", "p"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("p", F.col("word").alias("t")))
+                ),
+                lambda x: x["t"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    n_cut = hit.groupBy("id").agg(F.count("*").alias("words_cut"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .join(n_cut, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(
+                F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("words_cut"), F.lit(0)).cast("int").alias(
+                "words_cut"),
+        )
+    )

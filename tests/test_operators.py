@@ -784,3 +784,24 @@ def test_duplicated_windows_storage_path_written_table(spark, tmp_path):
     default = dedup.duplicated_window_spans(df, n=8, min_docs=2)
     assert sorted(map(tuple, stored.collect())) == \
         sorted(map(tuple, default.collect()))
+
+
+def test_drop_duplicated_windows_canonical_keep(spark):
+    from pydoxtools_spark.operators import dedup
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [(1, "pre1 " + shared + " post1"),
+            (2, "different opening words here " + shared),
+            (3, "no overlap with anything at all whatsoever honestly")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           dedup.drop_duplicated_windows(df, n=8, min_docs=2).collect()}
+    # doc 1 is canonical (min id) -> untouched
+    assert out[1]["clean_text"] == "pre1 " + shared + " post1"
+    assert out[1]["words_cut"] == 0
+    # doc 2 loses the 12 shared words (positions 5..16)
+    assert out[2]["clean_text"] == "different opening words here"
+    assert out[2]["words_cut"] == 12
+    # doc 3 has no duplicated runs
+    assert out[3]["words_cut"] == 0
+    assert out[3]["clean_text"].startswith("no overlap")
