@@ -1,0 +1,197 @@
+"""Randomized-batch equivalence tests for the training-pipeline ops:
+a seeded random corpus (planted duplicates, newlines, empties, short
+docs) goes through the Spark operators ONCE, and every row is compared
+against an independent pure-Python implementation of the published
+semantics.  Catches convention drift (1-based positions, interval
+adjacency, canonical-id policy, tie-breaks) that fixture tests with a
+single shape would miss."""
+
+import hashlib
+import math
+import random
+
+from pyspark.sql import functions as F
+
+
+def _norm_words(text):
+    # replicate the engines' normalization EXACTLY: SQL trim() strips
+    # SPACES only (not \n), then \s+ -> ' ', then split on ' ' —
+    # leading/trailing newlines therefore produce empty tokens, unlike
+    # python's .strip()
+    import re
+
+    t = re.sub(r"\s+", " ", text.lower().strip(" "))
+    return t.split(" ")
+
+
+def _gen_corpus(n_docs=120, seed=7):
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(12)]
+    shared = ["sh%d" % i for i in range(9)]  # planted 9-word run
+    docs = []
+    for i in range(n_docs):
+        k = rng.randrange(0, 40)
+        words = [rng.choice(vocab) for _ in range(k)]
+        if i % 4 == 0 and k > 3:
+            p = rng.randrange(0, k)
+            words[p:p] = shared
+        text = " ".join(words)
+        if i % 5 == 0 and words:
+            # inject newlines so line-based signals see structure
+            text = text.replace(" ", "\n", 2)
+        docs.append((i, text))
+    docs.append((n_docs, ""))          # empty
+    docs.append((n_docs + 1, "  \n "))  # whitespace only
+    return docs
+
+
+def _windows(words, n):
+    return [(s + 1, " ".join(words[s:s + n])) for s in
+            range(len(words) - n + 1)]
+
+
+def _flagged_hashes(docs, n, min_docs):
+    seen = {}
+    for i, t in docs:
+        for _, g in set(_windows(_norm_words(t), n)):
+            seen.setdefault(g, set()).add(i)
+    return {g for g, ids in seen.items() if len(ids) >= min_docs}
+
+
+def _merge(intervals):
+    out = []
+    for s, e in sorted(intervals):
+        if out and s <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def test_duplicated_window_spans_matches_python_reference(spark):
+    from pydoxtools_spark.operators import dedup
+
+    docs = _gen_corpus()
+    n = 5
+    flagged = _flagged_hashes(docs, n, 2)
+    want = {}
+    for i, t in docs:
+        iv = [(s, s + n - 1) for s, g in _windows(_norm_words(t), n)
+              if g in flagged]
+        for s, e in _merge(iv):
+            want[(i, s, e)] = True
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r["doc_id"], r["start_word"], r["end_word"]): True for r in
+           dedup.duplicated_window_spans(df, n=n, min_docs=2).collect()}
+    assert got == want
+
+
+def test_drop_duplicated_windows_matches_python_reference(spark):
+    from pydoxtools_spark.operators import dedup
+
+    docs = _gen_corpus()
+    n = 5
+    seen = {}
+    for i, t in docs:
+        for _, g in set(_windows(_norm_words(t), n)):
+            seen.setdefault(g, set()).add(i)
+    canon = {g: min(ids) for g, ids in seen.items() if len(ids) >= 2}
+    want = {}
+    for i, t in docs:
+        words = _norm_words(t)
+        iv = _merge([
+            (s, s + n - 1) for s, g in _windows(words, n)
+            if g in canon and canon[g] != i
+        ])
+        cut = {p for s, e in iv for p in range(s, e + 1)}
+        keep = [w for p, w in enumerate(words, start=1) if p not in cut]
+        want[i] = (" ".join(keep), len(cut))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["clean_text"], r["words_cut"]) for r in
+           dedup.drop_duplicated_windows(df, n=n, min_docs=2).collect()}
+    assert got == want
+
+
+def test_repetition_signals_match_python_reference(spark):
+    from pydoxtools_spark.operators import curation
+
+    docs = _gen_corpus()
+    want = {}
+    for i, t in docs:
+        lines = [ln.strip(" ") for ln in t.split("\n")
+                 if ln.strip(" ") != ""]
+        if lines:
+            from collections import Counter
+
+            lc = Counter(lines)
+            tot = len(lines)
+            dlf = (tot - len(lc)) / tot
+            dlc = (sum((c - 1) * len(s) for s, c in lc.items())
+                   / sum(c * len(s) for s, c in lc.items()))
+        else:
+            dlf = dlc = 0.0
+
+        def gram_mass(nn):
+            from collections import Counter
+
+            ws = _norm_words(t)
+            gs = Counter(g for _, g in _windows(ws, nn))
+            if not gs:
+                return 0.0, 0.0
+            mass = sum(c * len(g) for g, c in gs.items())
+            mx = max(gs.values())
+            top_len = max(len(g) for g, c in gs.items() if c == mx)
+            dup = sum(c * len(g) for g, c in gs.items() if c > 1)
+            return mx * top_len / mass, dup / mass
+
+        topf, _ = gram_mass(2)
+        _, dupf = gram_mass(5)
+        want[i] = (dlf, dlc, topf, dupf)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           curation.repetition_signals(df).collect()}
+    for i, (dlf, dlc, topf, dupf) in want.items():
+        r = got[i]
+        assert abs(r["dup_line_frac"] - dlf) < 1e-9, i
+        assert abs(r["dup_line_char_frac"] - dlc) < 1e-9, i
+        assert abs(r["top_ngram_frac"] - topf) < 1e-9, i
+        assert abs(r["dup_ngram_frac"] - dupf) < 1e-9, i
+
+
+def test_quota_sample_matches_python_reference(spark):
+    from pydoxtools_spark.operators import curation
+
+    docs = [(i, f"g{i % 5}") for i in range(173)]
+    q = 11
+    by_g = {}
+    for i, g in docs:
+        by_g.setdefault(g, []).append(i)
+    want = set()
+    for g, ids in by_g.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for rank, i in enumerate(ids[:q], start=1):
+            want.add((i, g, rank))
+    df = spark.createDataFrame(docs, ["doc_id", "domain"])
+    got = {tuple(r) for r in
+           curation.quota_sample(df, "domain", q).collect()}
+    assert got == want
+
+
+def test_unigram_logprob_matches_python_reference(spark):
+    from collections import Counter
+
+    from pydoxtools_spark.operators import curation
+
+    docs = [(i, t) for i, t in _gen_corpus() if _norm_words(t) != [""]]
+    vocab = Counter(w for _, t in docs for w in _norm_words(t) if w)
+    total = sum(vocab.values())
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r["logprob"] for r in
+           curation.unigram_logprob(df).collect()}
+    for i, t in docs:
+        ws = [w for w in _norm_words(t) if w]
+        if not ws:
+            assert i not in got
+            continue
+        want = math.log(total) - sum(math.log(vocab[w]) for w in ws) / len(ws)
+        assert abs(got[i] - want) < 1e-9, i
