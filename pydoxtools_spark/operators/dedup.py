@@ -1,5 +1,7 @@
 """Deduplication operators for large-scale training-data pipelines:
-exact, MinHash+LSH, SimHash, n-gram Jaccard.
+exact, MinHash+LSH, SimHash, n-gram Jaccard, benchmark decontamination,
+and substring-level dedup (duplicated n-word windows: detection as
+merged intervals + the canonical-keep cut).
 
 All hot paths are pure Spark SQL (higher-order array functions, hash
 aggregates) — no Python UDFs.  Hash primitive is md5 (present in both
@@ -681,14 +683,20 @@ def drop_duplicated_windows(
     min(id)-per-hash agg (map-side combinable), and a per-doc
     range-membership join of words against that doc's cut intervals —
     both sides keyed and bounded per document, reassembly is the same
-    sorted collect_list as drop_repeated_lines.
+    sorted collect_list as drop_repeated_lines.  Unlike the detection
+    op (whose double compute is cheaper than caching), this one fans
+    the token and hash streams out to FIVE consumers — plan-audited at
+    8 source scans unpersisted — so both narrow streams are persisted
+    (MEMORY_AND_DISK: a corpus-rewriting op already pays corpus-sized
+    I/O; one cached copy beats 8 re-derivations).
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     w = docs.select(
         F.col(id_col).alias("id"),
         F.split(_norm(F.col(text_col)), " ").alias("w"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     long_enough = w.filter(F.size("w") >= n)
     pos = long_enough.select(
         "id", "w",
@@ -699,7 +707,7 @@ def drop_duplicated_windows(
         "id", "s",
         F.md5(F.array_join(F.slice(F.col("w"), F.col("s"), n), " ")).alias(
             "h"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     per_doc = hashed.select("h", "id").distinct()
     counts = per_doc.groupBy("h").agg(
         F.count("*").alias("n_docs"), F.min("id").alias("canonical"))
