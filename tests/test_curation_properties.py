@@ -195,3 +195,40 @@ def test_unigram_logprob_matches_python_reference(spark):
             continue
         want = math.log(total) - sum(math.log(vocab[w]) for w in ws) / len(ws)
         assert abs(got[i] - want) < 1e-9, i
+
+
+def test_giant_doc_skew_sanity(spark):
+    """A single giant document (30k words, heavy internal repetition)
+    next to tiny ones: window detection, the cut, and repetition
+    signals all stay bounded (per-doc work is one task but linear) and
+    return sane values — the skew shape a web corpus WILL contain."""
+    from pydoxtools_spark.operators import curation, dedup
+
+    rng = random.Random(3)
+    giant = " ".join(rng.choice(["a", "b", "c", "d"]) for _ in range(30000))
+    shared = " ".join(f"s{i}" for i in range(20))
+    rows = [(1, giant + " " + shared), (2, "tiny " + shared),
+            (3, "unrelated words only here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    spans = dedup.duplicated_window_spans(df, n=8, min_docs=2).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["start_word"], r["end_word"]))
+    # doc1's 4-letter soup repeats across... only within itself (1 doc)
+    # -> NOT flagged; the planted 20-word run IS (docs 1+2)
+    assert any(e - s + 1 >= 20 for s, e in by_doc.get(1, []))
+    assert any(e - s + 1 >= 20 for s, e in by_doc.get(2, []))
+    assert 3 not in by_doc
+
+    cut = {r["doc_id"]: r for r in
+           dedup.drop_duplicated_windows(df, n=8, min_docs=2).collect()}
+    assert cut[1]["words_cut"] == 0          # canonical (min id) keeps
+    assert cut[2]["words_cut"] >= 20         # run cut from doc 2
+    assert cut[3]["words_cut"] == 0
+
+    sig = {r["doc_id"]: r for r in
+           curation.repetition_signals(df).collect()}
+    assert sig[1]["dup_ngram_frac"] > 0.9    # 4-letter soup: all dup 5-grams
+    assert sig[3]["dup_ngram_frac"] == 0.0
