@@ -1037,6 +1037,22 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-timeout sessionization of the events table (30-min gap):
+    lag -> boundary flag -> running sum -> per-session aggregate, with
+    integer-microsecond gap arithmetic so both engines cut sessions
+    identically."""
+    from pydoxtools_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id", F.col("session_idx").cast("int").alias("session_idx"),
+        "session_start", "session_end",
+        F.col("n_events").cast("int").alias("n_events"), "sum_value",
+    )
+
+
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -1175,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_class": q_page_class,
         "bag_stats": q_bag_stats,
         "events_rollup": q_events_rollup,
+        "sessionize": q_sessionize,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2204,6 +2221,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bag_stats": stats_oracle,
         "events_rollup": events_oracle,
+        "sessionize": """
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    b AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN prev_ts IS NULL
+                  OR date_diff('microsecond', prev_ts, ts)
+                     > 30 * 60000000 THEN 1 ELSE 0 END AS brk
+      FROM o),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS INT) AS session_idx
+      FROM b)
+    SELECT user_id, session_idx,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS INT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY 1, 2
+    """,
         "tpch_q1": q1_oracle,
         "tpch_q3": q3_oracle,
         "tpch_q5": """

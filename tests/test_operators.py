@@ -805,3 +805,26 @@ def test_drop_duplicated_windows_canonical_keep(spark):
     # doc 3 has no duplicated runs
     assert out[3]["words_cut"] == 0
     assert out[3]["clean_text"].startswith("no overlap")
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Strict >gap starts a new session; exactly-at-gap continues."""
+    import datetime as dt
+
+    from pydoxtools_spark.operators.events import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10, 1.0),
+        (2, t0 + dt.timedelta(minutes=30), 10, 2.0),   # == gap: same
+        (3, t0 + dt.timedelta(minutes=61), 10, 3.0),   # > gap: new
+        (4, t0, 20, 5.0),                              # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double")
+    out = {(r["user_id"], r["session_idx"]): r for r in
+           sessionize(df, gap_minutes=30).collect()}
+    assert out[(10, 1)]["n_events"] == 2
+    assert out[(10, 1)]["sum_value"] == 3.0
+    assert out[(10, 2)]["n_events"] == 1
+    assert out[(20, 1)]["n_events"] == 1
