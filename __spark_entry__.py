@@ -1037,6 +1037,20 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props handling: JSON-path extraction from the
+    event props column (get_json_object — JVM Jackson path, no UDF),
+    bucketed rollup.  The DuckDB twin uses json_extract."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", (k % 10).alias("k_bucket"), "value")
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count("*").cast("int").alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-timeout sessionization of the events table (30-min gap):
     lag -> boundary flag -> running sum -> per-session aggregate, with
@@ -1191,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_class": q_page_class,
         "bag_stats": q_bag_stats,
         "events_rollup": q_events_rollup,
+        "events_props": q_events_props,
         "sessionize": q_sessionize,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -2221,6 +2236,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bag_stats": stats_oracle,
         "events_rollup": events_oracle,
+        "events_props": """
+    SELECT event_type,
+           (json_extract(props, '$.k')::INT % 10) AS k_bucket,
+           CAST(count(*) AS INT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
         "sessionize": """
     WITH o AS (
       SELECT user_id, ts, event_id, value,
