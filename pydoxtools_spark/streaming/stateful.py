@@ -87,3 +87,81 @@ def windowed_event_counts(event_stream: DataFrame,
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n_events", "sum_value")
     )
+
+
+def streaming_sessionize(event_stream: DataFrame,
+                         gap_minutes: int = 30) -> DataFrame:
+    """Streaming twin of operators/events.sessionize: per-user session
+    state in applyInPandasWithState; an arriving event whose gap to the
+    open session exceeds `gap_minutes` CLOSES that session (emitted
+    downstream) and opens a new one.  Deterministic: sessions close on
+    EVENT time carried by the data itself, so AvailableNow replays give
+    identical output; the residual open session per user stays in
+    state.  (Production streams additionally arm an event-time timeout
+    + watermark so idle users' last sessions flush without a closing
+    event; the cut logic is identical.)
+
+    Input: streaming (event_id, ts, user_id, value).  Output rows are
+    COMPLETED sessions: (user_id, session_idx, session_start,
+    session_end, n_events, sum_value) — session_idx is the same
+    per-user ordinal the batch operator assigns.
+
+    Scale: state is one open-session tuple per user (five scalars —
+    tiny even at 10^9 users with RocksDB); each micro-batch shuffles
+    only that user's new events.
+    """
+    import pandas as pd  # noqa: F401  (kernel dependency, import-checked)
+
+    from pyspark.sql.types import DoubleType, TimestampNTZType
+
+    out_schema = StructType([
+        StructField("user_id", LongType(), False),
+        StructField("session_idx", LongType(), False),
+        StructField("session_start", TimestampNTZType(), False),
+        StructField("session_end", TimestampNTZType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("sum_value", DoubleType(), False),
+    ])
+    state_schema = StructType([
+        StructField("session_idx", LongType(), True),
+        StructField("start_us", LongType(), True),
+        StructField("last_us", LongType(), True),
+        StructField("n", LongType(), True),
+        StructField("sumv", DoubleType(), True),
+    ])
+    gap_us = gap_minutes * 60_000_000
+
+    def _session_fn(key, batches, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        idx, start_us, last_us, n, sumv = (
+            state.get if state.exists else (0, None, None, 0, 0.0))
+        ev = pd.concat(list(batches), ignore_index=True)
+        ev = ev.sort_values(["ts", "event_id"], kind="mergesort")
+        done = []
+        for ts, val in zip(ev["ts"], ev["value"]):
+            ts_us = pd.Timestamp(ts).value // 1000
+            if start_us is None:
+                idx, start_us, last_us, n, sumv = (
+                    idx + 1, ts_us, ts_us, 1, float(val))
+            elif ts_us - last_us > gap_us:
+                done.append((user_id, idx,
+                             pd.Timestamp(start_us * 1000),
+                             pd.Timestamp(last_us * 1000), n, sumv))
+                idx, start_us, last_us, n, sumv = (
+                    idx + 1, ts_us, ts_us, 1, float(val))
+            else:
+                last_us, n, sumv = ts_us, n + 1, sumv + float(val)
+        state.update((idx, start_us, last_us, n, sumv))
+        yield pd.DataFrame(
+            done, columns=["user_id", "session_idx", "session_start",
+                           "session_end", "n_events", "sum_value"])
+
+    return event_stream.select(
+        "event_id", "ts", F.col("user_id").cast("long").alias("user_id"),
+        "value",
+    ).groupBy("user_id").applyInPandasWithState(
+        _session_fn, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )

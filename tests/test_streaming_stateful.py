@@ -96,3 +96,53 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     got2 = {(str(r["window_start"]), r["event_type"]): r["n_events"]
             for r in spark.read.parquet(out_dir).collect()}
     assert got2.get(("2026-01-01 10:00:00", "click")) == 2  # unchanged
+
+
+def test_streaming_sessionize_state_across_batches(spark, tmp_path):
+    """Open sessions survive in state across micro-batches; an arriving
+    event beyond the gap closes and emits the previous session with the
+    same per-user ordinal the batch operator would assign."""
+    import datetime as dt
+
+    from pydoxtools_spark.streaming.stateful import streaming_sessionize
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "value double")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    batch1 = [(1, t0, 10, 1.0), (2, t0 + dt.timedelta(minutes=5), 10, 2.0)]
+    spark.createDataFrame(batch1, schema).write.parquet(in_dir)
+
+    def stream():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        return streaming_sessionize(src, gap_minutes=30)
+
+    _run_available_now(stream(), out_dir, ckpt)
+    # session still open -> nothing emitted yet
+    assert spark.read.parquet(out_dir).count() == 0
+
+    batch2 = [(3, t0 + dt.timedelta(hours=2), 10, 4.0),
+              (4, t0, 20, 9.0)]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(in_dir)
+    _run_available_now(stream(), out_dir, ckpt)
+    got = {(r["user_id"], r["session_idx"]): r
+           for r in spark.read.parquet(out_dir).collect()}
+    # user 10's first session closed by the 2h-later event
+    assert set(got) == {(10, 1)}
+    r = got[(10, 1)]
+    assert r["n_events"] == 2 and r["sum_value"] == 3.0
+    assert r["session_start"] == t0
+    assert r["session_end"] == t0 + dt.timedelta(minutes=5)
+
+    batch3 = [(5, t0 + dt.timedelta(hours=5), 10, 7.0),
+              (6, t0 + dt.timedelta(hours=5), 20, 8.0)]
+    spark.createDataFrame(batch3, schema).write.mode("append").parquet(in_dir)
+    _run_available_now(stream(), out_dir, ckpt)
+    got = {(r["user_id"], r["session_idx"]) for r in
+           spark.read.parquet(out_dir).collect()}
+    # user 10's SECOND session (the 2h event) now closed too; user 20's
+    # first session closed by its 5h event
+    assert got == {(10, 1), (10, 2), (20, 1)}
