@@ -232,3 +232,49 @@ def test_giant_doc_skew_sanity(spark):
            curation.repetition_signals(df).collect()}
     assert sig[1]["dup_ngram_frac"] > 0.9    # 4-letter soup: all dup 5-grams
     assert sig[3]["dup_ngram_frac"] == 0.0
+
+
+def test_sessionize_matches_python_reference(spark):
+    import datetime as dt
+
+    from pydoxtools_spark.operators.events import sessionize
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for u in range(8):
+        t = t0
+        for _ in range(rng.randrange(0, 25)):
+            t = t + dt.timedelta(minutes=rng.choice([1, 5, 29, 30, 31, 200]))
+            rows.append((eid, t, u, round(rng.uniform(0, 10), 2)))
+            eid += 1
+    # python reference
+    want = {}
+    by_u = {}
+    for e, t, u, v in rows:
+        by_u.setdefault(u, []).append((t, e, v))
+    for u, evs in by_u.items():
+        evs.sort()
+        idx = 0
+        cur = None
+        for t, e, v in evs:
+            if cur is None or (t - cur["end"]).total_seconds() * 1e6 > 30 * 60e6:
+                idx += 1
+                cur = {"start": t, "end": t, "n": 1, "sum": v}
+                want[(u, idx)] = cur
+            else:
+                cur["end"] = t
+                cur["n"] += 1
+                cur["sum"] += v
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double")
+    got = {(r["user_id"], r["session_idx"]): r for r in
+           sessionize(df, gap_minutes=30).collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        r = got[k]
+        assert r["session_start"] == w["start"] and \
+            r["session_end"] == w["end"], k
+        assert r["n_events"] == w["n"], k
+        assert abs(r["sum_value"] - round(w["sum"], 4)) < 1e-6, k
