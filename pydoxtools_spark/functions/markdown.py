@@ -107,10 +107,20 @@ def extract_markdown_spans(text: str) -> list[tuple[str, str | None, str | None]
         fm = _FENCE.match(stripped)
         if fm:
             flush_para()
-            fence = fm.group(1)[0] * 3
+            # CommonMark 4.5: the closing fence must use the same char
+            # and be AT LEAST as long as the opening run — a ```` block
+            # is not closed by ``` (nested example fences stay inside)
+            opening = fm.group(1)
+            fchar = opening[0]
+
+            def _closes(s: str) -> bool:
+                s = s.strip()
+                run = len(s) - len(s.lstrip(fchar))
+                return run >= len(opening) and not s.lstrip(fchar)
+
             body = []
             i += 1
-            while i < n and not lines[i].strip().startswith(fence):
+            while i < n and not _closes(lines[i]):
                 body.append(lines[i])
                 i += 1
             i += 1  # closing fence (or EOF)

@@ -99,21 +99,7 @@ def drop_repeated_lines(df: DataFrame, text_col: str = "text",
         "rn", F.when(F.col("norm") == "", F.lit(1)).otherwise(
             F.row_number().over(w))
     ).filter(F.col("rn") == 1)
-    return (
-        kept.groupBy("id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", F.col("line").alias("l")))
-                    ),
-                    lambda x: x["l"],
-                ),
-                "\n",
-            ).alias("clean_text")
-        )
-        .select(F.col("id").alias(id_col), "clean_text")
-    )
+    return _reassemble_lines(df, kept, id_col)
 
 
 def drop_boilerplate_lines(df: DataFrame, min_df: int = 10,
@@ -141,7 +127,17 @@ def drop_boilerplate_lines(df: DataFrame, min_df: int = 10,
     )
     kept = lines.join(
         F.broadcast(freq.select("norm")), "norm", "left_anti")
-    return (
+    return _reassemble_lines(df, kept, id_col)
+
+
+def _reassemble_lines(df: DataFrame, kept: DataFrame,
+                      id_col: str) -> DataFrame:
+    """Ordered re-assembly of surviving (id, pos, line) rows, re-joined
+    onto EVERY input id: split(NULL) explodes to zero rows, so a doc
+    with NULL text would otherwise vanish from the groupBy output (the
+    drop_duplicated_windows re-join/coalesce contract — every input doc
+    comes back, NULL/empty text as '')."""
+    rebuilt = (
         kept.groupBy("id")
         .agg(
             F.array_join(
@@ -154,7 +150,12 @@ def drop_boilerplate_lines(df: DataFrame, min_df: int = 10,
                 "\n",
             ).alias("clean_text")
         )
-        .select(F.col("id").alias(id_col), "clean_text")
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(F.col("id").alias(id_col),
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"))
     )
 
 

@@ -673,7 +673,10 @@ def drop_duplicated_windows(
     from its surviving words.
 
     Returns (id_col, clean_text, words_cut).  Documents shorter than n
-    words pass through unchanged.  Cut regions are the MERGED maximal
+    words (like every uncut document) come back in NORMALIZED form —
+    clean_text is rebuilt from the lowercased, whitespace-collapsed
+    token stream, not the verbatim input (the DuckDB twin matches the
+    same normalization, so cross-engine parity holds).  Cut regions are the MERGED maximal
     intervals of each doc's non-canonical flagged windows (the
     duplicated_window_spans convention), so partial overlaps with a
     window the doc IS canonical for still get cut — the policy is

@@ -168,15 +168,25 @@ def ocr_extract(media: DataFrame, model) -> DataFrame:
                     errs.append(f"{type(e).__name__}: {e}")
             ok = [im for im in imgs if im is not None]
             try:
-                texts = iter(model(ok))
+                out = list(model(ok))
+                # modelplug contract: one output per input, or the whole
+                # batch is an error — a short list must not silently
+                # null-out trailing rows, nor extras be silently dropped
+                if len(out) != len(ok):
+                    raise ValueError(
+                        f"model returned {len(out)} texts for {len(ok)} images")
+                texts = iter(out)
             except Exception as e:  # whole-batch model failure -> rows
                 texts = iter([])
                 errs = [err or f"model_error: {type(e).__name__}: {e}"
                         for err in errs]
             rows = []
             for ref, im, err in zip(refs, imgs, errs):
-                rows.append((ref, next(texts, None) if im is not None else None,
-                             err))
+                rows.append((
+                    ref,
+                    next(texts, None) if im is not None and err is None
+                    else None,
+                    err))
             yield pd.DataFrame(rows, columns=["media_ref", "text", "error"])
 
     return media.select("media_ref", "content").mapInPandas(kernel, OCR_TEXT)

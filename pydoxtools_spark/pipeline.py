@@ -33,6 +33,8 @@ Scale properties (SURVEY.md §4):
 
 from __future__ import annotations
 
+import json as _json
+import os as _os
 import time
 import uuid
 
@@ -615,6 +617,19 @@ def run_resumable(
     metrics_path = f"{out_dir}/metrics"
     run_path = f"{spans_path}/run_id={run_id}"
 
+    manifest = f"{out_dir}/_snapshots/{run_id}.json"
+    if _os.path.exists(manifest):
+        # run_id already committed: re-running would anti-join to an
+        # empty todo, see n_done=0 and (pre-guard) rmtree the committed
+        # run dir out from under its manifest.  Short-circuit instead —
+        # a committed run is immutable.
+        with open(manifest) as fh:
+            snap = _json.load(fh)
+        return {"run_id": run_id, "docs_processed": 0,
+                "parse_failures": 0, "span_count": 0, "elapsed_ms": 0,
+                "output": spans_path, "already_committed": True,
+                "committed_docs": int(snap.get("docs", 0))}
+
     todo = documents_in
     committed_paths = list_snapshots(out_dir)
     if committed_paths:
@@ -666,10 +681,13 @@ def run_resumable(
         # no-op resume: the run dir is empty and uncommitted by
         # construction — remove it so repeated resumes don't litter
         # extracted/ with unmanifested dirs (direct parent-dir reads of
-        # the output tree stay clean)
-        import shutil
+        # the output tree stay clean).  Never touch a manifested dir:
+        # the manifest is the commit marker, and a committed run's data
+        # must survive any number of replays.
+        if not _os.path.exists(f"{out_dir}/_snapshots/{run_id}.json"):
+            import shutil
 
-        shutil.rmtree(run_path, ignore_errors=True)
+            shutil.rmtree(run_path, ignore_errors=True)
     return {"run_id": run_id, "docs_processed": n_done,
             "parse_failures": int(stats["parse_failures"] or 0),
             "span_count": int(stats["span_count"] or 0),

@@ -121,3 +121,30 @@ def test_markdown_property_random_block_sequences():
         assert got == golden, seed
 
     check()
+
+
+def test_fence_closing_must_match_opening_length():
+    """CommonMark 4.5 (advisor r3): a block opened with 4+ fence chars
+    is NOT closed by a 3-char fence — nested example fences stay
+    inside the block; the closing line must be fence chars only and at
+    least as long as the opening run."""
+    from pydoxtools_spark.functions.markdown import extract_markdown_spans
+
+    md = "\n".join([
+        "# Title",
+        "````",
+        "example fence below",
+        "```",
+        "inner code",
+        "```",
+        "````",
+        "after paragraph",
+    ])
+    spans = extract_markdown_spans(md)
+    kinds_texts = [(k, t) for (k, t, _m) in spans]
+    assert ("header", "Title") in kinds_texts
+    # the whole inner block (incl. the 3-char fences) is ONE code span
+    code = [t for (k, t) in kinds_texts if k == "text" and "inner code" in t]
+    assert len(code) == 1
+    assert "```" in code[0] and "example fence below" in code[0]
+    assert ("text", "after paragraph") in kinds_texts

@@ -828,3 +828,41 @@ def test_sessionize_gap_boundaries(spark):
     assert out[(10, 1)]["sum_value"] == 3.0
     assert out[(10, 2)]["n_events"] == 1
     assert out[(20, 1)]["n_events"] == 1
+
+
+def test_line_ops_keep_null_text_docs(spark):
+    """Docs with NULL text must not vanish (advisor r3): split(NULL)
+    explodes to zero rows, so without the re-join both line ops would
+    silently drop the doc.  Contract: every input id comes back,
+    NULL text as ''."""
+    from pydoxtools_spark.operators import curation
+
+    rows = [(1, "alpha\nalpha\nbeta"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    rep = {r["doc_id"]: r["clean_text"] for r in
+           curation.drop_repeated_lines(df).collect()}
+    assert rep == {1: "alpha\nbeta", 2: "", 3: ""}
+    boil = {r["doc_id"]: r["clean_text"] for r in
+            curation.drop_boilerplate_lines(df, min_df=99).collect()}
+    assert boil == {1: "alpha\nalpha\nbeta", 2: "", 3: ""}
+
+
+def test_ocr_wrong_count_model_is_contained(spark):
+    """A model returning the wrong number of texts must error the whole
+    batch (modelplug contract), not silently null trailing rows
+    (advisor r3)."""
+    from pydoxtools_spark.functions.media import build_text_bmp
+
+    def short_model(images):
+        return ["only one"][: max(len(images) - 1, 0) or 1][:1]
+
+    rows = [
+        {"media_ref": f"m{i}", "media_type": "image",
+         "content": build_text_bmp(f"line {i}"), "meta": None}
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA).coalesce(1)
+    out = {r["media_ref"]: r for r in
+           multimodal.ocr_extract(df, short_model).collect()}
+    assert all(o["text"] is None for o in out.values())
+    assert all(o["error"] and "model" in o["error"] for o in out.values())

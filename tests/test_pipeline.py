@@ -185,3 +185,32 @@ def test_persist_spans_option_equivalent(spark, corpus):
                  persist_spans=True).collect()}
     spark.catalog.clearCache()
     assert a == b
+
+
+def test_replay_committed_run_id_is_noop_and_keeps_data(spark, corpus,
+                                                        tmp_path):
+    """Replaying run_resumable with an ALREADY-COMMITTED run_id must be
+    a pure no-op: the committed run dir and its manifest survive
+    (advisor r3: the pre-guard else-branch rmtree'd the committed
+    parquet while its manifest still referenced it)."""
+    import os
+
+    from pydoxtools_spark.pipeline import read_extracted, run_resumable
+
+    docs_df, pdf_df, _exp = corpus
+    out = str(tmp_path / "replay_out")
+    r1 = run_resumable(spark, docs_df, pdf_df, out, run_id="fixedrun",
+                       parallelism=4)
+    assert r1["docs_processed"] == N_DOCS
+    run_dir = f"{out}/extracted/run_id=fixedrun"
+    assert os.path.isdir(run_dir)
+
+    r2 = run_resumable(spark, docs_df, pdf_df, out, run_id="fixedrun",
+                       parallelism=4)
+    assert r2.get("already_committed") is True
+    assert r2["docs_processed"] == 0
+    assert r2["committed_docs"] == N_DOCS
+    # the committed data is still there and still readable
+    assert os.path.isdir(run_dir)
+    assert os.path.exists(f"{out}/_snapshots/fixedrun.json")
+    assert read_extracted(spark, out).count() == N_DOCS
