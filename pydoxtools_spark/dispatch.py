@@ -94,3 +94,39 @@ def doc_type_sql(expr: str) -> str:
       WHEN ({md_count}) >= 3 THEN '{TYPE_MARKDOWN}'
       ELSE '{TYPE_PLAIN}'
     END"""
+
+
+# ------------------------------------------------------ binary dispatch
+
+TYPE_PDF = "application/pdf"
+TYPE_DOCX = ("application/vnd.openxmlformats-officedocument"
+             ".wordprocessingml.document")
+TYPE_BINARY = "application/octet-stream"
+
+
+def blob_doc_type(content: bytes) -> str:
+    """Binary-payload dispatch (reference document_type detection for
+    file payloads, document.py:107-113): magic-number probe — %PDF
+    header -> pdf; PK zip magic + [Content_Types].xml with a
+    word/document.xml part -> docx; anything else octet-stream.  Used
+    by ingestion to assign in_kind before extract()."""
+    if content[:5] == b"%PDF-":
+        return TYPE_PDF
+    if content[:4] == b"PK\x03\x04":
+        from .functions.docx import is_docx
+
+        if is_docx(content):
+            return TYPE_DOCX
+    return TYPE_BINARY
+
+
+def blob_in_kind(content: bytes) -> str:
+    """blob -> documents_in span kind for extract() routing."""
+    from .constants import IN_KIND_DOCX_BYTES, IN_KIND_PDF_BYTES
+
+    t = blob_doc_type(content)
+    if t == TYPE_PDF:
+        return IN_KIND_PDF_BYTES
+    if t == TYPE_DOCX:
+        return IN_KIND_DOCX_BYTES
+    return "binary"

@@ -1,0 +1,284 @@
+"""From-scratch OOXML (docx) reader/writer pair.
+
+The reference converts docx (and odt/rtf/epub) through pandoc
+(extract_pandoc.py:98-167: PandocConverter -> Block list ->
+paragraphs/headers/lists/tables) — pandoc is not in this sandbox, so
+this module parses the OOXML directly from public ECMA-376 knowledge:
+a .docx is a zip; `word/document.xml` holds the body as an ordered
+stream of w:p (paragraph) and w:tbl (table) elements; paragraph style
+`Heading*` marks headers; w:numPr marks list paragraphs; a:blip
+r:embed references images through `word/_rels/document.xml.rels`.
+
+Block -> span mapping mirrors the markdown branch exactly (same
+KIND_*, same list_to_text/table_to_text/norm_ws canonical forms), so
+a docx and a markdown rendering of the same content produce identical
+span streams — the property the pipeline tests pin.
+
+  writer  build_tiny_docx(blocks)   deterministic bytes (fixed zip
+                                    timestamps, ZIP_STORED) for
+                                    fixtures and driver oracles
+  reader  extract_docx_spans(data)  -> ordered (kind, text, media_ref)
+          is_docx(data)             PK magic + [Content_Types].xml probe
+                                    (the dispatch rule)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+from ..constants import (
+    KIND_HEADER,
+    KIND_IMAGE,
+    KIND_LIST,
+    KIND_TABLE,
+    KIND_TEXT,
+)
+from .spantext import list_to_text, norm_ws, table_to_text
+
+W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+REL = "http://schemas.openxmlformats.org/package/2006/relationships"
+
+
+class DocxParseError(ValueError):
+    pass
+
+
+def is_docx(data: bytes) -> bool:
+    """Dispatch probe: zip magic + [Content_Types].xml with the
+    wordprocessingml main-document content type (cheap: central
+    directory read only)."""
+    if not data[:4] == b"PK\x03\x04":
+        return False
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            names = set(z.namelist())
+            if "[Content_Types].xml" not in names:
+                return False
+            return "word/document.xml" in names
+    except (zipfile.BadZipFile, OSError):
+        return False
+
+
+# ------------------------------------------------------------------ reader
+
+
+def _runs_text(el) -> str:
+    """Concatenate the element's text runs in document order: w:t text,
+    w:tab as space, w:br as space."""
+    parts: list[str] = []
+    for node in el.iter():
+        tag = node.tag
+        if tag == f"{{{W}}}t":
+            parts.append(node.text or "")
+        elif tag in (f"{{{W}}}tab", f"{{{W}}}br", f"{{{W}}}cr"):
+            parts.append(" ")
+    return "".join(parts)
+
+
+def _para_style(p) -> str | None:
+    st = p.find(f"{{{W}}}pPr/{{{W}}}pStyle")
+    return st.get(f"{{{W}}}val") if st is not None else None
+
+
+def _is_list_para(p) -> bool:
+    return p.find(f"{{{W}}}pPr/{{{W}}}numPr") is not None
+
+
+def _para_image_ref(p, rels: dict[str, str]) -> str | None:
+    blip = p.find(f".//{{{A}}}blip")
+    if blip is None:
+        return None
+    rid = blip.get(f"{{{R}}}embed")
+    return rels.get(rid) if rid else None
+
+
+def extract_docx_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
+    """docx bytes -> ordered (kind, text, media_ref) spans.
+
+    Block mapping (the reference's pandoc Block list,
+    extract_pandoc.py:122-167): Heading* style -> header; consecutive
+    w:numPr paragraphs -> ONE list span (pandoc emits one BulletList);
+    w:tbl -> table span in the canonical ' | '/newline form; a:blip
+    image reference -> image span (media_ref = rels target); other
+    paragraphs -> text spans, whitespace-normalized, empties dropped.
+    """
+    if not is_docx(data):
+        raise DocxParseError("not a docx (PK magic / [Content_Types] probe)")
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        try:
+            doc_xml = z.read("word/document.xml")
+        except KeyError as e:
+            raise DocxParseError(f"missing part: {e}") from None
+        rels: dict[str, str] = {}
+        try:
+            rels_xml = z.read("word/_rels/document.xml.rels")
+            for rel in ET.fromstring(rels_xml).iter(f"{{{REL}}}Relationship"):
+                rels[rel.get("Id")] = rel.get("Target")
+        except KeyError:
+            pass
+
+    try:
+        root = ET.fromstring(doc_xml)
+    except ET.ParseError as e:
+        raise DocxParseError(f"bad document.xml: {e}") from None
+    body = root.find(f"{{{W}}}body")
+    if body is None:
+        raise DocxParseError("document.xml without w:body")
+
+    spans: list[tuple[str, str | None, str | None]] = []
+    list_items: list[str] = []
+
+    def flush_list():
+        if list_items:
+            spans.append((KIND_LIST, list_to_text(list_items), None))
+            list_items.clear()
+
+    for el in body:
+        tag = el.tag
+        if tag == f"{{{W}}}p":
+            ref = _para_image_ref(el, rels)
+            if ref is not None:
+                flush_list()
+                spans.append((KIND_IMAGE, None, ref))
+                continue
+            text = norm_ws(_runs_text(el))
+            if _is_list_para(el):
+                if text:
+                    list_items.append(text)
+                continue
+            flush_list()
+            if not text:
+                continue
+            style = _para_style(el)
+            if style and style.startswith("Heading"):
+                spans.append((KIND_HEADER, text, None))
+            else:
+                spans.append((KIND_TEXT, text, None))
+        elif tag == f"{{{W}}}tbl":
+            flush_list()
+            grid = []
+            for tr in el.findall(f"{{{W}}}tr"):
+                grid.append([norm_ws(_runs_text(tc))
+                             for tc in tr.findall(f"{{{W}}}tc")])
+            if grid:
+                spans.append((KIND_TABLE, table_to_text(grid), None))
+        # sectPr and friends: no content
+    flush_list()
+    return spans
+
+
+# ------------------------------------------------------------------ writer
+
+_XML_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+
+
+def _xesc(s: str) -> str:
+    return re.sub(r"[&<>\"]", lambda m: _XML_ESC[m.group(0)], s)
+
+
+def _p(text: str, style: str | None = None, num: bool = False) -> str:
+    ppr = ""
+    if style or num:
+        ppr = "<w:pPr>"
+        if style:
+            ppr += f'<w:pStyle w:val="{style}"/>'
+        if num:
+            ppr += '<w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/></w:numPr>'
+        ppr += "</w:pPr>"
+    return (f"<w:p>{ppr}<w:r><w:t xml:space=\"preserve\">{_xesc(text)}"
+            "</w:t></w:r></w:p>")
+
+
+def build_tiny_docx(blocks: list[tuple]) -> bytes:
+    """blocks -> deterministic docx bytes.  Block forms:
+      ("header", text, level)   ("text", text)
+      ("list", [items])         ("table", [[cells]])
+      ("image", target)         e.g. target="media/image1.png"
+    """
+    body: list[str] = []
+    images: list[str] = []
+    for blk in blocks:
+        kind = blk[0]
+        if kind == "header":
+            body.append(_p(blk[1], style=f"Heading{blk[2]}"))
+        elif kind == "text":
+            body.append(_p(blk[1]))
+        elif kind == "list":
+            body.extend(_p(item, num=True) for item in blk[1])
+        elif kind == "table":
+            rows = "".join(
+                "<w:tr>" + "".join(
+                    f"<w:tc>{_p(c)}</w:tc>" for c in row) + "</w:tr>"
+                for row in blk[1]
+            )
+            body.append(f"<w:tbl>{rows}</w:tbl>")
+        elif kind == "image":
+            images.append(blk[1])
+            rid = f"rId{len(images)}"
+            body.append(
+                "<w:p><w:r><w:drawing><wp:inline><a:graphic><a:graphicData>"
+                f'<pic:pic><pic:blipFill><a:blip r:embed="{rid}"/>'
+                "</pic:blipFill></pic:pic>"
+                "</a:graphicData></a:graphic></wp:inline></w:drawing>"
+                "</w:r></w:p>"
+            )
+        else:
+            raise ValueError(f"unknown block kind: {kind}")
+
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{W}" xmlns:a="{A}" xmlns:r="{R}" '
+        'xmlns:wp="http://schemas.openxmlformats.org/drawingml/2006/'
+        'wordprocessingDrawing" '
+        'xmlns:pic="http://schemas.openxmlformats.org/drawingml/2006/picture">'
+        f"<w:body>{''.join(body)}<w:sectPr/></w:body></w:document>"
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{REL}">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships/image" '
+            f'Target="{t}"/>'
+            for i, t in enumerate(images)
+        )
+        + "</Relationships>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="png" ContentType="image/png"/>'
+        '<Override PartName="/word/document.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.wordprocessingml.document.'
+        'main+xml"/>'
+        "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{REL}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/officeDocument" '
+        'Target="word/document.xml"/>'
+        "</Relationships>"
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        for name, payload in [
+            ("[Content_Types].xml", content_types),
+            ("_rels/.rels", root_rels),
+            ("word/document.xml", document),
+            ("word/_rels/document.xml.rels", rels),
+        ] + [(f"word/{t}", f"png-placeholder-{t}") for t in images]:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            z.writestr(zi, payload)
+    return buf.getvalue()

@@ -25,18 +25,71 @@ subset the fixture corpus needs:
 
 Content-stream operators handled: BT/ET, Tf (font+size), Tm (absolute
 text matrix — the writer always positions with Tm), Td/TD (relative
-line moves), Tj (show string), re (rect path), m/l (move/line), S/f
-(paint).  Text bbox width uses the deterministic 0.5 em-per-char
-Helvetica-ish heuristic — writer and reader share it, so layout
-round-trips exactly.
+line moves), Tj (show string), TJ (array show with kern adjustments,
+ISO 32000 §9.4.3), re (rect path), m/l (move/line), S/f (paint).
+
+Real-world subset (round 4): /Filter /FlateDecode content streams
+(zlib is stdlib), TJ arrays with 1/1000-em kern numbers, per-font
+glyph advances resolved from (a) an embedded /Widths + /FirstChar
+array, else (b) the published standard-14 AFM width tables for the
+Courier and Times families, else (c) the legacy 0.5-em heuristic.
+The HELVETICA dialect deliberately stays on the 0.5-em heuristic when
+no /Widths array is present: the entire fixture/oracle geometry
+(goldens-by-construction, the hand-derived bbox constants in the
+driver oracles) is pinned to that advance model — embed /Widths
+(e.g. widths='afm') to get AFM-exact Helvetica instead.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
 PAGE_W, PAGE_H = 612.0, 792.0
 CHAR_EM = 0.5  # average glyph advance as a fraction of font size
+
+# Standard-14 AFM advance widths (units of 1/1000 em), ASCII 32-126 —
+# published Adobe core-font metrics (public AFM files).  Courier is
+# monospace 600 across the board.
+_HELV_W = [
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278,
+    584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611, 778, 722, 278,
+    500, 667, 556, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 278, 278, 278, 469, 556, 333, 556, 556, 500, 556, 556,
+    278, 556, 556, 222, 222, 500, 222, 833, 556, 556, 556, 556, 333, 500,
+    278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584,
+]
+_TIMES_W = [
+    250, 333, 408, 500, 500, 833, 778, 180, 333, 333, 500, 564, 250, 333,
+    250, 278, 500, 500, 500, 500, 500, 500, 500, 500, 500, 500, 278, 278,
+    564, 564, 564, 444, 921, 722, 667, 667, 722, 611, 556, 722, 722, 333,
+    389, 722, 611, 889, 722, 722, 556, 722, 667, 556, 611, 722, 722, 944,
+    722, 722, 611, 333, 278, 333, 469, 500, 333, 444, 500, 444, 500, 444,
+    333, 500, 500, 278, 278, 500, 278, 778, 500, 500, 500, 500, 333, 389,
+    278, 500, 500, 722, 500, 500, 444, 480, 200, 480, 541,
+]
+HELVETICA_WIDTHS = {chr(32 + i): w for i, w in enumerate(_HELV_W)}
+TIMES_WIDTHS = {chr(32 + i): w for i, w in enumerate(_TIMES_W)}
+
+
+def glyph_width(ch: str, size: float, base_font: str | None = None,
+                widths: dict[int, int] | None = None) -> float:
+    """Advance width of one glyph in text-space units.  Resolution
+    order: embedded /Widths array -> standard-14 AFM (Courier/Times)
+    -> the legacy 0.5-em fixture dialect (Helvetica and unknowns)."""
+    if widths:
+        w = widths.get(ord(ch))
+        if w is not None:
+            return w / 1000.0 * size
+    if base_font:
+        if base_font.startswith("Courier"):
+            return 0.6 * size
+        if base_font.startswith("Times"):
+            w = TIMES_WIDTHS.get(ch)
+            if w is not None:
+                return w / 1000.0 * size
+    return CHAR_EM * size
 
 
 class PdfParseError(ValueError):
@@ -52,10 +105,29 @@ def _esc(s: str) -> bytes:
     ).encode("utf-8")
 
 
-def build_tiny_pdf(pages: list[dict]) -> bytes:
+def build_tiny_pdf(
+    pages: list[dict],
+    compress: bool = False,
+    use_tj: bool = False,
+    font: str = "Helvetica",
+    widths: str | None = None,
+    producer: str | None = None,
+    creator: str | None = None,
+) -> bytes:
     """pages: [{"texts": [(x, y, size, text)], "rects": [(x, y, w, h)],
     "lines": [(x0, y0, x1, y1)]}] -> PDF bytes.  One content stream per
-    page; every text line is its own BT/ET block positioned with Tm."""
+    page; every text line is its own BT/ET block positioned with Tm.
+
+    Real-world dialect knobs (round 4):
+      compress   stream payloads FlateDecode-compressed (the shape of
+                 virtually every real PDF)
+      use_tj     show text as a TJ array (split at the middle space,
+                 zero kern — byte-different, layout-identical to Tj)
+      font       BaseFont for /F1 (e.g. 'Courier', 'Times-Roman')
+      widths     'afm' embeds the standard-14 AFM /Widths array for
+                 `font` (switches the reader to AFM-exact advances)
+      producer/creator  written to the trailer /Info dictionary
+    """
     objs: list[bytes] = []  # 1-indexed object bodies
 
     n_pages = len(pages)
@@ -68,22 +140,56 @@ def build_tiny_pdf(pages: list[dict]) -> bytes:
     for i, page in enumerate(pages):
         content = bytearray()
         for x, y, size, text in page.get("texts", []):
-            content += b"BT /F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm (" % (size, x, y)
-            content += _esc(text)
-            content += b") Tj ET\n"
+            content += b"BT /F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm " % (size, x, y)
+            if use_tj:
+                mid = text.find(" ", len(text) // 2)
+                segs = [text] if mid < 0 else [text[:mid], text[mid:]]
+                content += b"[ "
+                for j, seg in enumerate(segs):
+                    if j:
+                        content += b"0 "
+                    content += b"(" + _esc(seg) + b") "
+                content += b"] TJ ET\n"
+            else:
+                content += b"(" + _esc(text) + b") Tj ET\n"
         for x, y, w, h in page.get("rects", []):
             content += b"%.2f %.2f %.2f %.2f re S\n" % (x, y, w, h)
         for x0, y0, x1, y1 in page.get("lines", []):
             content += b"%.2f %.2f m %.2f %.2f l S\n" % (x0, y0, x1, y1)
+        filt = b""
+        if compress:
+            content = bytearray(zlib.compress(bytes(content)))
+            filt = b" /Filter /FlateDecode"
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} "
             f"{PAGE_H:g}] /Contents {4 + 2 * i} 0 R /Resources "
             f"<< /Font << /F1 {font_obj} 0 R >> >> >>".encode()
         )
         objs.append(
-            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+            b"<< /Length %d%s >>\nstream\n%s\nendstream"
+            % (len(content), filt, content)
         )
-    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    font_dict = f"<< /Type /Font /Subtype /Type1 /BaseFont /{font}"
+    if widths == "afm":
+        table = (HELVETICA_WIDTHS if font.startswith("Helvetica")
+                 else TIMES_WIDTHS if font.startswith("Times") else None)
+        if table is not None:
+            ws = " ".join(str(table.get(chr(c), 500))
+                          for c in range(32, 127))
+            font_dict += f" /FirstChar 32 /LastChar 126 /Widths [{ws}]"
+        elif font.startswith("Courier"):
+            ws = " ".join(["600"] * 95)
+            font_dict += f" /FirstChar 32 /LastChar 126 /Widths [{ws}]"
+    objs.append((font_dict + " >>").encode())
+    info_obj = None
+    if producer is not None or creator is not None:
+        body = b"<<"
+        if producer is not None:
+            body += b" /Producer (" + _esc(producer) + b")"
+        if creator is not None:
+            body += b" /Creator (" + _esc(creator) + b")"
+        objs.append(body + b" >>")
+        info_obj = len(objs)
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -95,9 +201,11 @@ def build_tiny_pdf(pages: list[dict]) -> bytes:
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
+    trailer = b"<< /Size %d /Root 1 0 R" % (len(objs) + 1)
+    if info_obj is not None:
+        trailer += b" /Info %d 0 R" % info_obj
     out += (
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (len(objs) + 1, xref_at)
+        b"trailer\n%s >>\nstartxref\n%d\n%%%%EOF\n" % (trailer, xref_at)
     )
     return bytes(out)
 
@@ -109,9 +217,107 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
+_FONTRES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+_BASEFONT_RE = re.compile(rb"/BaseFont\s*/([\w.+-]+)")
+_WIDTHS_RE = re.compile(rb"/Widths\s*\[(.*?)\]", re.S)
+_FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
+_INFO_RE = re.compile(rb"/Info\s+(\d+)\s+0\s+R")
+_COUNT_RE = re.compile(rb"/Count\s+(\d+)")
+_INFOSTR_RE = {
+    "producer": re.compile(rb"/Producer\s*\(((?:[^()\\]|\\.)*)\)", re.S),
+    "creator": re.compile(rb"/Creator\s*\(((?:[^()\\]|\\.)*)\)", re.S),
+}
 
 
-def _content_streams_strict(data: bytes) -> list[bytes]:
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+
+
+def _inflate(payload: bytes) -> bytes:
+    """zlib-inflate tolerating trailing bytes (a stray \\r/\\n the
+    stream delimiters left behind) but NOT truncation."""
+    d = zlib.decompressobj()
+    out = d.decompress(payload)
+    if not d.eof:
+        raise zlib.error("incomplete deflate stream")
+    return out
+
+
+def _stream_payload_at(data: bytes, body_start: int) -> tuple[bytes, bytes]:
+    """(dict head, exact stream payload) of the object whose body
+    starts at `body_start` in the FULL file bytes.  Sliced from
+    absolute offsets because a compressed payload can embed `endobj`/
+    `endstream` by chance, truncating any regex-captured body; /Length
+    is authoritative when present (ISO 32000 §7.3.8) — the delimiter
+    fallback otherwise eats a payload's trailing \\r via the
+    `\\r?\\n endstream` convention."""
+    stream_at = data.find(b"stream", body_start)
+    if stream_at < 0:
+        raise PdfParseError("contents object without stream")
+    head = data[body_start:stream_at]
+    p = stream_at + len(b"stream")
+    if data[p:p + 2] == b"\r\n":
+        p += 2
+    elif data[p:p + 1] == b"\n":
+        p += 1
+    lm = _LENGTH_RE.search(head)
+    if lm:
+        n = int(lm.group(1))
+        if len(data) < p + n:
+            raise PdfParseError("/Length past end of file")
+        return head, data[p:p + n]
+    end = data.find(b"endstream", p)
+    if end < 0:
+        raise PdfParseError("stream without endstream")
+    return head, data[p:end].rstrip(b"\r\n")
+
+
+def _maybe_flate(head: bytes, payload: bytes) -> bytes:
+    """Decode a stream payload according to the dict head's /Filter.
+    Only FlateDecode is supported — anything else is a parse error the
+    repair ladder/caller contains."""
+    if b"/FlateDecode" in head:
+        try:
+            return _inflate(payload)
+        except zlib.error as e:
+            raise PdfParseError(f"bad FlateDecode stream: {e}") from None
+    if b"/Filter" in head:
+        raise PdfParseError("unsupported stream /Filter")
+    return payload
+
+
+def _parse_font_dict(body: bytes) -> dict:
+    base_m = _BASEFONT_RE.search(body)
+    f = {"base": base_m.group(1).decode("latin-1") if base_m else None,
+         "widths": None}
+    wm = _WIDTHS_RE.search(body)
+    if wm:
+        first = 32
+        fm = _FIRSTCHAR_RE.search(body)
+        if fm:
+            first = int(fm.group(1))
+        try:
+            vals = [int(v) for v in wm.group(1).split()]
+        except ValueError:
+            vals = []
+        f["widths"] = {first + i: w for i, w in enumerate(vals)}
+    return f
+
+
+def _page_fonts(page: bytes, objs: dict[int, bytes]) -> dict[bytes, dict]:
+    """Resolve the page's /Resources /Font name -> font-info map."""
+    fonts: dict[bytes, dict] = {}
+    fr = _FONTRES_RE.search(page)
+    if fr:
+        for m in _FONTREF_RE.finditer(fr.group(1)):
+            fobj = objs.get(int(m.group(2)))
+            if fobj is not None:
+                fonts[b"/" + m.group(1)] = _parse_font_dict(fobj)
+    return fonts
+
+
+def _content_streams_strict(data: bytes) -> list[tuple[bytes, dict]]:
+    """-> [(decoded content stream, font map)] in /Kids page order."""
     if not data.startswith(b"%PDF-"):
         raise PdfParseError("missing %PDF header")
     tail = data[-200:]
@@ -125,9 +331,12 @@ def _content_streams_strict(data: bytes) -> list[bytes]:
     if not data[xref_at:xref_at + 4] == b"xref":
         raise PdfParseError("startxref does not point at an xref table")
 
-    objs: dict[int, bytes] = {
-        int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
-    }
+    objs: dict[int, bytes] = {}
+    objstart: dict[int, int] = {}
+    for m in _OBJ_RE.finditer(data):
+        num = int(m.group(1))
+        objs[num] = m.group(2)
+        objstart[num] = m.start(2)
     pages_obj = next(
         (b for b in objs.values() if b"/Type /Pages" in b or b"/Type/Pages" in b),
         None,
@@ -145,24 +354,77 @@ def _content_streams_strict(data: bytes) -> list[bytes]:
         cm = _CONTENTS_RE.search(page)
         if not cm:
             raise PdfParseError("page without /Contents")
-        cobj = objs.get(int(cm.group(1)))
-        if cobj is None:
+        cnum = int(cm.group(1))
+        if cnum not in objstart:
             raise PdfParseError("dangling /Contents reference")
-        sm = _STREAM_RE.search(cobj)
-        if not sm:
-            raise PdfParseError("contents object without stream")
-        streams.append(sm.group(1))
+        head, payload = _stream_payload_at(data, objstart[cnum])
+        streams.append((_maybe_flate(head, payload),
+                        _page_fonts(page, objs)))
     return streams
 
 
-def _content_streams_lenient(data: bytes) -> list[bytes]:
+_STREAM_START_RE = re.compile(rb"(?<!end)stream\r?\n")
+
+
+def _content_streams_lenient(data: bytes) -> list[tuple[bytes, dict]]:
     """Repair rung (pdf_utils.py:81-148 semantics): structure damaged
     (xref/trailer/header) but stream payloads intact — recover every
-    stream blob in byte order and treat each as one page's content."""
-    streams = [m.group(1) for m in _STREAM_RE.finditer(data)]
+    stream blob in byte order and treat each as one page's content.
+    A blob whose raw slice zlib-inflates (decompressobj: tolerant of
+    the trailing delimiter newline, intolerant of truncation) is taken
+    as FlateDecode-compressed — the /Filter entry may sit in the
+    damaged region; otherwise the raw text with the delimiter newline
+    stripped.  Font resources are unrecoverable here -> legacy advance
+    model."""
+    streams = []
+    for m in _STREAM_START_RE.finditer(data):
+        p = m.end()
+        end = data.find(b"endstream", p)
+        if end < 0:
+            continue
+        raw = data[p:end]
+        try:
+            payload = _inflate(raw)
+        except zlib.error:
+            payload = raw.rstrip(b"\r\n")
+        streams.append((payload, {}))
     if not streams:
         raise PdfParseError("no recoverable content streams")
     return streams
+
+
+def parse_pdf_info(data: bytes) -> dict:
+    """Document metadata (reference meta_infos: document.py page counts
+    + pdfminer doc.info): n_pages from the /Pages /Count (falling back
+    to recovered stream count on the repair rung), producer/creator
+    from the trailer /Info dictionary when present."""
+    objs: dict[int, bytes] = {
+        int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
+    }
+    n_pages = None
+    pages_obj = next(
+        (b for b in objs.values()
+         if b"/Type /Pages" in b or b"/Type/Pages" in b), None)
+    if pages_obj is not None:
+        cm = _COUNT_RE.search(pages_obj)
+        if cm:
+            n_pages = int(cm.group(1))
+        else:
+            km = _KIDS_RE.search(pages_obj)
+            if km:
+                n_pages = len(_REF_RE.findall(km.group(1)))
+    if n_pages is None:
+        n_pages = len(_STREAM_RE.findall(data))
+    producer = creator = None
+    im = _INFO_RE.search(data)
+    if im:
+        info = objs.get(int(im.group(1)))
+        if info is not None:
+            pm = _INFOSTR_RE["producer"].search(info)
+            cm2 = _INFOSTR_RE["creator"].search(info)
+            producer = _unesc(pm.group(1)) if pm else None
+            creator = _unesc(cm2.group(1)) if cm2 else None
+    return {"n_pages": n_pages, "producer": producer, "creator": creator}
 
 
 _STR_TOKEN = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.S)
@@ -182,22 +444,32 @@ def _unesc(raw: bytes) -> str:
     return out.decode("utf-8", errors="replace")
 
 
-def _parse_content(stream: bytes):
-    """One content stream -> (texts [(x, y, size, text)],
+def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
+    """One content stream -> (texts [(x, y, size, text, advances)],
     graphics [(x0, y0, x1, y1)]).  Tiny postfix interpreter over the
-    operator subset (ISO 32000 §9.4 text ops, §8.5 path ops)."""
+    operator subset (ISO 32000 §9.4 text ops incl. TJ arrays, §8.5
+    path ops).  `advances` is the per-glyph advance list under the
+    resolved font's width model (see glyph_width)."""
+    fonts = fonts or {}
     texts, graphics = [], []
-    # tokenize: strings as single tokens, everything else whitespace-split
+    # tokenize: strings as single tokens; '[' / ']' broken out of the
+    # whitespace-split chunks so TJ arrays delimit cleanly
     pos = 0
     tokens: list[object] = []
+
+    def _extend_plain(chunk: bytes):
+        tokens.extend(
+            chunk.replace(b"[", b" [ ").replace(b"]", b" ] ").split())
+
     for m in _STR_TOKEN.finditer(stream):
-        tokens.extend(stream[pos:m.start()].split())
+        _extend_plain(stream[pos:m.start()])
         tokens.append(("str", _unesc(m.group(0)[1:-1])))
         pos = m.end()
-    tokens.extend(stream[pos:].split())
+    _extend_plain(stream[pos:])
 
     stack: list[object] = []
     size = 12.0
+    cur_font: dict = {}
     tx = ty = 0.0
     lx = ly = 0.0  # text line start (for Td/TD)
     cur_x = cur_y = 0.0  # path current point
@@ -206,6 +478,31 @@ def _parse_content(stream: bytes):
     def num(v):
         return float(v)
 
+    text_obj = 0  # BT counter: merge only within one text object
+
+    def show(s: str):
+        """Emit a shown string, coalescing contiguous runs: successive
+        show calls inside ONE text object on the same baseline/size
+        (TJ segments, kerned or not) merge into a single text entry —
+        the pdfminer line-merge behavior our downstream expects.  A
+        kern gap is absorbed into the previous glyph's advance so
+        x + cumsum(advances) keeps locating every glyph."""
+        nonlocal tx
+        if not s:
+            return
+        adv = [glyph_width(ch, size, cur_font.get("base"),
+                           cur_font.get("widths")) for ch in s]
+        if texts and texts[-1][5] == text_obj:
+            px, py, psize, ptext, padv, _ = texts[-1]
+            if py == ty and psize == size and padv:
+                gap = tx - (px + sum(padv))
+                padv[-1] += gap
+                texts[-1] = (px, py, psize, ptext + s, padv + adv, text_obj)
+                tx += sum(adv)
+                return
+        texts.append((tx, ty, size, s, adv, text_obj))
+        tx += sum(adv)
+
     for tok in tokens:
         if isinstance(tok, tuple):
             stack.append(tok)
@@ -213,6 +510,8 @@ def _parse_content(stream: bytes):
         op = tok
         if op == b"Tf":
             size = num(stack[-1])
+            if len(stack) >= 2 and isinstance(stack[-2], bytes):
+                cur_font = fonts.get(stack[-2], {})
             stack.clear()
         elif op == b"Tm":
             tx, ty = num(stack[-2]), num(stack[-1])
@@ -224,8 +523,25 @@ def _parse_content(stream: bytes):
             stack.clear()
         elif op == b"Tj":
             s = stack[-1][1] if isinstance(stack[-1], tuple) else ""
-            texts.append((tx, ty, size, s))
-            tx += CHAR_EM * size * len(s)
+            show(s)
+            stack.clear()
+        elif op == b"TJ":
+            # array show: strings advance, numbers kern by -n/1000 em
+            # (ISO 32000 §9.4.3).  Consume back to the matching '['.
+            arr: list[object] = []
+            while stack:
+                t = stack.pop()
+                if t == b"[":
+                    break
+                arr.append(t)
+            for el in reversed(arr):
+                if isinstance(el, tuple):
+                    show(el[1])
+                else:
+                    try:
+                        tx -= float(el) / 1000.0 * size
+                    except (TypeError, ValueError):
+                        pass
             stack.clear()
         elif op == b"re":
             x, y, w, h = (num(v) for v in stack[-4:])
@@ -248,10 +564,12 @@ def _parse_content(stream: bytes):
                 path_min = path_max = None
             stack.clear()
         elif op in (b"BT", b"ET"):
+            if op == b"BT":
+                text_obj += 1
             stack.clear()
         else:
             stack.append(op)
-    return texts, graphics
+    return [t[:5] for t in texts], graphics
 
 
 def pdf_elements_from_bytes(data: bytes, doc_id: str,
@@ -260,9 +578,10 @@ def pdf_elements_from_bytes(data: bytes, doc_id: str,
     repair ladder.  Raises PdfParseError when both rungs fail.
 
     emit_chars additionally materializes one type='Char' row per glyph
-    (deterministic 0.5 em advance — the same heuristic the line bbox
-    uses), feeding the full-fidelity table path (table_mode='chars':
-    word rebuild / sweep-line / frozen validity tree)."""
+    (box from the font's per-glyph advance — 0.5 em under the legacy
+    fixture dialect), feeding the full-fidelity table path
+    (table_mode='chars': word rebuild / sweep-line / frozen validity
+    tree)."""
     try:
         streams = _content_streams_strict(data)
     except PdfParseError:
@@ -270,32 +589,34 @@ def pdf_elements_from_bytes(data: bytes, doc_id: str,
 
     rows: list[dict] = []
     boxnum = 0
-    for p, stream in enumerate(streams):
-        texts, graphics = _parse_content(stream)
-        for x, y, size, text in texts:
+    for p, (stream, fonts) in enumerate(streams):
+        texts, graphics = _parse_content(stream, fonts)
+        for x, y, size, text, adv in texts:
             boxnum += 1
             rows.append(dict(
                 doc_id=doc_id, p_num=p, boxnum=boxnum, linenum=0,
                 type="Text", x0=x, y0=y,
-                x1=x + CHAR_EM * size * len(text), y1=y + size,
+                x1=x + sum(adv), y1=y + size,
                 rawtext=text, font_name="F1", font_size=size,
                 font_color=None, mean_char_orientation=0.0,
                 linewidth=None, media_ref=None,
             ))
             if emit_chars:
-                w = CHAR_EM * size
-                for k, ch in enumerate(text):
+                cx = x
+                for ch, w in zip(text, adv):
                     if ch.isspace():
+                        cx += w
                         continue  # glyph advance only; no box for spaces
                     boxnum += 1
                     rows.append(dict(
                         doc_id=doc_id, p_num=p, boxnum=boxnum, linenum=0,
-                        type="Char", x0=x + k * w, y0=y,
-                        x1=x + (k + 1) * w, y1=y + size,
+                        type="Char", x0=cx, y0=y,
+                        x1=cx + w, y1=y + size,
                         rawtext=ch, font_name="F1", font_size=size,
                         font_color=None, mean_char_orientation=0.0,
                         linewidth=None, media_ref=None,
                     ))
+                    cx += w
         for x0, y0, x1, y1 in graphics:
             boxnum += 1
             rows.append(dict(

@@ -206,3 +206,45 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+PDF_META = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("n_pages", IntegerType(), True),
+        StructField("producer", StringType(), True),
+        StructField("creator", StringType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def pdf_meta_from_blobs(blobs: DataFrame, id_col: str = "doc_id",
+                        content_col: str = "content") -> DataFrame:
+    """Document metadata from raw PDF bytes (reference meta_infos,
+    document.py:383-415 + pdfminer doc.info): page count from the
+    /Pages /Count, producer/creator from the trailer /Info dict.
+    Arrow-batched kernel, per-row error containment — a hopeless blob
+    yields an error row, never a task death."""
+
+    def kernel(batches):
+        from ..functions.pdfparse import parse_pdf_info
+
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    info = parse_pdf_info(
+                        bytes(content) if content is not None else b"")
+                    rows.append((did, info["n_pages"], info["producer"],
+                                 info["creator"], None))
+                except Exception as e:
+                    rows.append((did, None, None, None,
+                                 f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pages", "producer", "creator",
+                               "error"])
+
+    return blobs.select(
+        F.col(id_col).cast("string").alias(id_col), content_col
+    ).mapInPandas(kernel, PDF_META)

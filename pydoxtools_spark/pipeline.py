@@ -51,6 +51,7 @@ from pyspark.sql.types import (
 )
 
 from .constants import (
+    IN_KIND_DOCX_BYTES,
     IN_KIND_HTML,
     IN_KIND_IMAGE_REF,
     IN_KIND_PDF_BYTES,
@@ -320,9 +321,85 @@ def _pdf_branch(spans: DataFrame, pdf_elements: DataFrame,
     )
 
 
+def _docx_kernel(batches):
+    """mapInPandas kernel: docx zip bytes -> output spans
+    (functions/docx.py; reference extract_pandoc.py:98-167 pandoc
+    Block mapping, rebuilt as a direct ECMA-376 parse).  Parse failure
+    is a contained error span, never task death."""
+    from .functions.docx import extract_docx_spans
+
+    cols = ["doc_id", "span_idx", "ord1", "ord2", "ord3", "kind", "text",
+            "media_ref"]
+    for pdf in batches:
+        rows = []
+        for doc_id, span_idx, content in zip(
+            pdf["doc_id"], pdf["span_idx"], pdf["content"]
+        ):
+            try:
+                blob = bytes(content) if content is not None else b""
+                for i, (k, t, r) in enumerate(extract_docx_spans(blob)):
+                    rows.append((doc_id, int(span_idx), float(i), 0.0, 0.0,
+                                 k, t, r))
+            except Exception as e:  # failure containment, never task death
+                rows.append(
+                    (doc_id, int(span_idx), 0.0, 0.0, 0.0, KIND_ERROR,
+                     f"docx_parse_error: {type(e).__name__}: {e}", None)
+                )
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def _docx_branch(spans: DataFrame, doc_blobs: DataFrame) -> DataFrame:
+    """docx branch: docx_bytes spans join their binary payloads from
+    doc_blobs(ref, content) — same side-table shape as pdf_blobs — and
+    run the OOXML kernel.  A span whose ref has no blob row yields no
+    spans (the doc still appears with an empty array via the
+    sentinel), mirroring the pdf_ref convention."""
+    refs = spans.filter(F.col("in_kind") == IN_KIND_DOCX_BYTES).select(
+        "doc_id", "span_idx", "in_ref"
+    )
+    joined = refs.join(doc_blobs, refs.in_ref == doc_blobs.ref).select(
+        "doc_id", "span_idx", "content"
+    )
+    return joined.mapInPandas(_docx_kernel, _OUT_SPAN)
+
+
+def _ocr_branch(spans: DataFrame, media_blobs: DataFrame,
+                ocr_model) -> DataFrame:
+    """OCR branch (reference chain document.py:320-355: image -> OCR ->
+    text through the SAME pipeline): image_ref spans whose blobs exist
+    in media_blobs(ref, content) run through the batched OCR plug
+    point; recognized text becomes a text span ORDERED AFTER the image
+    span (ord1=1 vs the image branch's 0), OCR failure a contained
+    error span.  The model sees one Arrow batch of decoded images at a
+    time (operators/multimodal.ocr_extract)."""
+    from .operators.multimodal import ocr_extract
+
+    refs = spans.filter(F.col("in_kind") == IN_KIND_IMAGE_REF).select(
+        "doc_id", "span_idx", "in_ref"
+    )
+    ocr = ocr_extract(
+        media_blobs.select(F.col("ref").alias("media_ref"), "content"),
+        ocr_model,
+    )
+    joined = refs.join(ocr, refs.in_ref == ocr.media_ref)
+    return joined.select(
+        "doc_id",
+        "span_idx",
+        F.lit(1.0).alias("ord1"),
+        F.lit(0.0).alias("ord2"),
+        F.lit(0.0).alias("ord3"),
+        F.when(F.col("error").isNotNull(), F.lit(KIND_ERROR))
+        .otherwise(F.lit(KIND_TEXT)).alias("kind"),
+        F.when(F.col("error").isNotNull(),
+               F.concat(F.lit("ocr_error: "), F.col("error")))
+        .otherwise(F.col("text")).alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    ).filter(F.col("text").isNotNull())
+
+
 _KNOWN_IN_KINDS = (
     IN_KIND_TEXT, IN_KIND_HTML, IN_KIND_PDF_REF, IN_KIND_PDF_BYTES,
-    IN_KIND_IMAGE_REF,
+    IN_KIND_DOCX_BYTES, IN_KIND_IMAGE_REF,
 )
 
 
@@ -386,11 +463,16 @@ def extract(
     max_pages: int | None = None,
     table_mode: str = "grid",
     pdf_blobs: DataFrame | None = None,
+    doc_blobs: DataFrame | None = None,
+    media_blobs: DataFrame | None = None,
+    ocr_model=None,
     persist_spans: bool = False,
 ) -> DataFrame:
     """documents_in (+ pdf_elements side table, + optional
-    pdf_blobs(ref, content binary) for raw-bytes ingestion) -> extracted
-    (doc_id, spans array<struct<kind,text,media_ref,offset>>, error).
+    pdf_blobs(ref, content binary) for raw-PDF-bytes ingestion, +
+    optional doc_blobs(ref, content binary) for docx_bytes spans) ->
+    extracted (doc_id, spans array<struct<kind,text,media_ref,offset>>,
+    error).
 
     page_numbers / max_pages restrict PDF extraction to selected pages —
     the reference's page-slicing semantics (document.py:978-979,
@@ -444,6 +526,10 @@ def extract(
         .unionByName(_unknown_kind_branch(spans))
         .unionByName(_sentinel_branch(documents_in))
     )
+    if doc_blobs is not None:
+        out = out.unionByName(_docx_branch(spans, doc_blobs))
+    if media_blobs is not None and ocr_model is not None:
+        out = out.unionByName(_ocr_branch(spans, media_blobs, ocr_model))
 
     # running char offset over the doc's reading-ordered span stream;
     # error spans contribute 0 and are routed to the error column.

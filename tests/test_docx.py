@@ -1,0 +1,165 @@
+"""docx loader (round 4): from-scratch ECMA-376 parse (reference
+PandocToPdxConverter, extract_pandoc.py:98-167) — writer/reader pair,
+markdown-twin block mapping, binary dispatch, and the pipeline branch."""
+
+from pyspark.sql import functions as F
+
+from pydoxtools_spark.functions.docx import (
+    DocxParseError,
+    build_tiny_docx,
+    extract_docx_spans,
+    is_docx,
+)
+
+BLOCKS = [
+    ("header", "Doc 7", 1),
+    ("text", "Some   body  text here"),
+    ("list", ["alpha", "beta 7", "gamma"]),
+    ("table", [["a", "b"], ["c 7", "d"]]),
+    ("image", "media/image1.png"),
+    ("header", "Sub", 2),
+    ("text", "tail paragraph"),
+]
+
+
+def test_writer_reader_round_trip_and_determinism():
+    data = build_tiny_docx(BLOCKS)
+    assert is_docx(data)
+    assert data == build_tiny_docx(BLOCKS), "writer must be byte-deterministic"
+    assert extract_docx_spans(data) == [
+        ("header", "Doc 7", None),
+        ("text", "Some body text here", None),
+        ("list", "alpha\nbeta 7\ngamma", None),
+        ("table", "a | b\nc 7 | d", None),
+        ("image", None, "media/image1.png"),
+        ("header", "Sub", None),
+        ("text", "tail paragraph", None),
+    ]
+
+
+def test_markdown_twin_block_mapping():
+    """The same content as markdown and as docx must produce IDENTICAL
+    span streams (the block-mapping contract both branches pin)."""
+    from pydoxtools_spark.functions.markdown import extract_markdown_spans
+
+    md = "\n".join([
+        "# Doc 7", "", "Some body text here", "",
+        "- alpha", "- beta 7", "- gamma", "",
+        "| a | b |", "| --- | --- |", "| c 7 | d |", "",
+        "![img](media/image1.png)", "", "## Sub", "", "tail paragraph",
+    ])
+    assert extract_markdown_spans(md) == extract_docx_spans(
+        build_tiny_docx(BLOCKS))
+
+
+def test_parse_errors_contained():
+    import pytest
+
+    for payload in (b"", b"PK\x03\x04junk", b"%PDF-1.4 nope"):
+        assert not is_docx(payload)
+        with pytest.raises(DocxParseError):
+            extract_docx_spans(payload)
+
+
+def test_blob_dispatch_probe():
+    from pydoxtools_spark.dispatch import (
+        TYPE_BINARY, TYPE_DOCX, TYPE_PDF, blob_doc_type, blob_in_kind)
+    from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+
+    docx = build_tiny_docx(BLOCKS)
+    pdf = build_tiny_pdf([{"texts": [(0.0, 0.0, 10.0, "x")]}])
+    assert blob_doc_type(docx) == TYPE_DOCX
+    assert blob_doc_type(pdf) == TYPE_PDF
+    assert blob_doc_type(b"\x00\x01\x02") == TYPE_BINARY
+    # a plain zip that is not a docx stays binary
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("readme.txt", "hi")
+    assert blob_doc_type(buf.getvalue()) == TYPE_BINARY
+    assert blob_in_kind(docx) == "docx_bytes"
+    assert blob_in_kind(pdf) == "pdf_bytes"
+
+
+def test_docx_branch_through_extract(spark):
+    """docx_bytes spans + doc_blobs side table -> ordered spans with
+    running offsets through the SAME extract() pipeline; a broken blob
+    becomes a contained error row."""
+    from pydoxtools_spark.pipeline import extract
+    from pydoxtools_spark.schemas import DOCUMENTS_IN
+
+    good = build_tiny_docx(BLOCKS)
+    docs = spark.createDataFrame(
+        [{"doc_id": "g", "spans": [
+            {"kind": "docx_bytes", "text": None,
+             "media_ref": "blob://g", "offset": 0}]},
+         {"doc_id": "bad", "spans": [
+             {"kind": "docx_bytes", "text": None,
+              "media_ref": "blob://bad", "offset": 0}]},
+         {"doc_id": "noblob", "spans": [
+             {"kind": "docx_bytes", "text": None,
+              "media_ref": "blob://missing", "offset": 0}]}],
+        schema=DOCUMENTS_IN)
+    blobs = spark.createDataFrame(
+        [("blob://g", bytearray(good)), ("blob://bad", bytearray(b"PK\x03\x04nope"))],
+        "ref string, content binary")
+    rows = {r["doc_id"]: r for r in
+            extract(spark, docs, None, parallelism=2,
+                    doc_blobs=blobs).collect()}
+    g = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+         for s in rows["g"]["spans"]]
+    texts = [t for (_k, t, _r, _o) in g if t]
+    assert g[0] == ("header", "Doc 7", None, 0)
+    assert g[1][3] == len("Doc 7")  # running offset
+    assert ("image", None, "media/image1.png", sum(map(len, texts[:4]))) in g
+    assert rows["g"]["error"] is None
+    assert rows["bad"]["spans"] == []
+    assert "docx_parse_error" in rows["bad"]["error"]
+    # missing blob: doc still present, empty spans, no error (pdf_ref
+    # convention)
+    assert rows["noblob"]["spans"] == [] and rows["noblob"]["error"] is None
+
+
+def test_ocr_branch_through_extract(spark):
+    """image_ref spans + media blobs + batched mock model -> an image
+    span followed by the recognized text span (reference chain
+    document.py:320-355), with running offsets; a bad raster becomes a
+    contained error."""
+    from pydoxtools_spark.functions.media import (
+        build_text_bmp, read_text_bmp_pixels)
+    from pydoxtools_spark.pipeline import extract
+    from pydoxtools_spark.schemas import DOCUMENTS_IN
+
+    def model(images):
+        return [read_text_bmp_pixels(im) for im in images]
+
+    docs = spark.createDataFrame(
+        [{"doc_id": "a", "spans": [
+            {"kind": "image_ref", "text": None,
+             "media_ref": "scan://a", "offset": 0}]},
+         {"doc_id": "junk", "spans": [
+             {"kind": "image_ref", "text": None,
+              "media_ref": "scan://junk", "offset": 0}]}],
+        schema=DOCUMENTS_IN)
+    blobs = spark.createDataFrame(
+        [("scan://a", bytearray(build_text_bmp("hello scan"))),
+         ("scan://junk", bytearray(b"not a bmp"))],
+        "ref string, content binary")
+    rows = {r["doc_id"]: r for r in
+            extract(spark, docs, None, parallelism=2,
+                    media_blobs=blobs, ocr_model=model).collect()}
+    a = [(s["kind"], s["text"], s["media_ref"], s["offset"])
+         for s in rows["a"]["spans"]]
+    assert a == [("image", None, "scan://a", 0),
+                 ("text", "hello scan", None, 0)]
+    assert rows["a"]["error"] is None
+    # undecodable raster: image span survives, OCR error contained
+    j = [(s["kind"], s["media_ref"]) for s in rows["junk"]["spans"]]
+    assert j == [("image", "scan://junk")]
+    assert "ocr_error" in rows["junk"]["error"]
+    # without a model the branch is absent entirely (plain image span)
+    plain = {r["doc_id"]: r for r in
+             extract(spark, docs, None, parallelism=2).collect()}
+    assert [s["kind"] for s in plain["a"]["spans"]] == ["image"]

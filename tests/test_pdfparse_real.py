@@ -1,0 +1,172 @@
+"""Real-world PDF subset (round 4): FlateDecode streams, TJ arrays,
+standard-14 / embedded-widths font metrics, /Info metadata, and the
+exact-slicing fixes for binary payloads that collide with the stream
+delimiters.  Reference behavior: pdf_utils.py:182-398 (pdfminer parse)
+and :81-148 (pikepdf repair) — rebuilt from ISO 32000 knowledge only."""
+
+import zlib
+
+import pytest
+
+from pydoxtools_spark.functions.pdfparse import (
+    CHAR_EM,
+    HELVETICA_WIDTHS,
+    PdfParseError,
+    build_tiny_pdf,
+    parse_pdf_info,
+    pdf_elements_from_bytes,
+)
+
+PAGES = [{"texts": [(72.0, 700.0, 18.0, "Doc X"),
+                    (72.0, 600.0, 10.0, "hello world body line")],
+          "lines": [(72.0, 500.0, 300.0, 500.0)]}]
+
+
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("use_tj", [False, True])
+def test_dialects_round_trip_identically(compress, use_tj):
+    """Flate-compressed and/or TJ-array PDFs parse to the SAME element
+    rows as the plain dialect (the judge-specified oracle-unchanged
+    property), in both text and chars modes."""
+    base = pdf_elements_from_bytes(build_tiny_pdf(PAGES), "d")
+    base_chars = pdf_elements_from_bytes(build_tiny_pdf(PAGES), "d",
+                                         emit_chars=True)
+    data = build_tiny_pdf(PAGES, compress=compress, use_tj=use_tj)
+    assert pdf_elements_from_bytes(data, "d") == base
+    assert pdf_elements_from_bytes(data, "d", emit_chars=True) == base_chars
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_damaged_blob_repair_rung(compress):
+    """Structure-damaged blobs (trailer stripped) recover through the
+    lenient rung — compressed payloads are zlib-sniffed without the
+    /Filter entry (it sits in the damaged region)."""
+    base = pdf_elements_from_bytes(build_tiny_pdf(PAGES), "d")
+    data = build_tiny_pdf(PAGES, compress=compress, use_tj=True)
+    dmg = data[: data.rfind(b"startxref")]
+    assert pdf_elements_from_bytes(dmg, "d") == base
+    # header stripped too: lenient never needs the %PDF magic
+    dmg2 = dmg[len(b"%PDF-1.4\n"):]
+    assert pdf_elements_from_bytes(dmg2, "d") == base
+
+
+def _one_page_pdf(stream_payload: bytes, filt: bytes = b"") -> bytes:
+    """Hand-assembled single-page PDF with correct xref offsets — the
+    writer-shape minimum, but with an arbitrary raw stream payload."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d%s >>\nstream\n%s\nendstream"
+        % (len(stream_payload), filt, stream_payload),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_at))
+    return bytes(out)
+
+
+def test_length_is_authoritative_for_delimiter_colliding_payloads():
+    """A compressed payload whose LAST byte is \\r mis-slices under the
+    old `\\r?\\n endstream` delimiter regex (the byte is eaten and the
+    deflate stream is truncated) — the r4 driver regression (doc 127
+    at sf0.001).  /Length-based slicing must recover it via STRICT
+    parse.  The colliding payload is found by deterministic search
+    over content-stream comment pads (ISO 32000 §7.2.4)."""
+    base_content = b"BT /F1 10.00 Tf 1 0 0 1 72.00 600.00 Tm (hello) Tj ET\n"
+    comp = None
+    for i in range(65536):
+        pad = bytes([32 + (i & 0x3F), 32 + ((i >> 6) & 0x3F),
+                     32 + ((i >> 12) & 0x3F)])
+        cand = zlib.compress(base_content + b"% " + pad + b"\n")
+        if cand.endswith(b"\r"):
+            comp = cand
+            break
+    assert comp is not None, "no CR-terminated deflate payload found"
+    data = _one_page_pdf(comp, filt=b" /Filter /FlateDecode")
+    rows = pdf_elements_from_bytes(data, "d")
+    assert [r["rawtext"] for r in rows if r["type"] == "Text"] == ["hello"]
+    # and the repair rung recovers the same thing without the trailer
+    # (the tolerant inflater ignores the trailing delimiter newline)
+    dmg = data[: data.rfind(b"startxref")]
+    rows2 = pdf_elements_from_bytes(dmg, "d")
+    assert [r["rawtext"] for r in rows2 if r["type"] == "Text"] == ["hello"]
+
+
+def test_tj_kern_shifts_position_and_merges_line():
+    """TJ number elements kern by -n/1000 em; kerned segments on one
+    baseline still merge into ONE text element whose glyph advances
+    absorb the kern (x + sum(advances) locates every glyph)."""
+    raw = build_tiny_pdf([{"texts": [(0.0, 0.0, 10.0, "ab cd")]}],
+                         use_tj=True)
+    kerned = raw.replace(b"[ (ab) 0 ( cd) ] TJ", b"[ (ab) -1000 (cd) ] TJ")
+    assert kerned != raw
+    (t,) = [r for r in pdf_elements_from_bytes(kerned, "d")
+            if r["type"] == "Text"]
+    # 4 glyphs * 5pt + kern gap of +10pt = 30pt total advance
+    assert t["rawtext"] == "abcd"
+    assert abs(t["x1"] - 30.0) < 1e-9
+
+
+def test_standard14_and_embedded_widths():
+    """Width resolution ladder: /Widths array (AFM-exact Helvetica)
+    -> standard-14 table (Courier monospace 600) -> the legacy 0.5-em
+    fixture dialect for width-less Helvetica."""
+    (t_legacy,) = [r for r in pdf_elements_from_bytes(
+        build_tiny_pdf([{"texts": [(0.0, 0.0, 20.0, "Doc X")]}]), "d")]
+    assert abs(t_legacy["x1"] - CHAR_EM * 20.0 * 5) < 1e-9
+
+    (t_cour,) = [r for r in pdf_elements_from_bytes(
+        build_tiny_pdf([{"texts": [(0.0, 0.0, 20.0, "Doc X")]}],
+                       font="Courier"), "d")]
+    assert abs(t_cour["x1"] - 0.6 * 20.0 * 5) < 1e-9
+
+    (t_afm,) = [r for r in pdf_elements_from_bytes(
+        build_tiny_pdf([{"texts": [(0.0, 0.0, 20.0, "Doc X")]}],
+                       widths="afm"), "d")]
+    want = sum(HELVETICA_WIDTHS[c] for c in "Doc X") / 1000.0 * 20.0
+    assert abs(t_afm["x1"] - want) < 1e-9
+    # chars mode: per-glyph boxes tile the line exactly
+    chars = [r for r in pdf_elements_from_bytes(
+        build_tiny_pdf([{"texts": [(0.0, 0.0, 20.0, "Doc X")]}],
+                       widths="afm"), "d", emit_chars=True)
+        if r["type"] == "Char"]
+    assert abs(chars[-1]["x1"] - want) < 1e-9
+
+
+def test_info_dict_and_page_count():
+    pages = [{"texts": [(72.0, 700.0, 12.0, f"p{i}")]} for i in range(3)]
+    data = build_tiny_pdf(pages, compress=True, producer="prod 1.0",
+                          creator="unit")
+    assert parse_pdf_info(data) == {
+        "n_pages": 3, "producer": "prod 1.0", "creator": "unit"}
+    # no /Info -> nulls; damaged -> stream-count fallback
+    plain = build_tiny_pdf(pages)
+    assert parse_pdf_info(plain)["producer"] is None
+    assert parse_pdf_info(plain)["n_pages"] == 3
+    dmg = plain[: plain.rfind(b"startxref")]
+    assert parse_pdf_info(dmg)["n_pages"] == 3
+
+
+def test_unsupported_filter_contained():
+    data = build_tiny_pdf(PAGES, compress=True)
+    bad = data.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+    # strict rejects the filter; lenient then recovers nothing readable
+    # from the (actually deflate) payload or inflates it — either way
+    # no exception escapes uncontained
+    try:
+        rows = pdf_elements_from_bytes(bad, "d")
+        assert isinstance(rows, list)
+    except PdfParseError:
+        pass
