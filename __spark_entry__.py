@@ -1222,15 +1222,12 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props handling: JSON-path extraction from the
     event props column (get_json_object — JVM Jackson path, no UDF),
-    bucketed rollup.  The DuckDB twin uses json_extract."""
+    bucketed rollup (operators/events.props_rollup).  The DuckDB twin
+    uses json_extract."""
+    from pydoxtools_spark.operators.events import props_rollup
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return (
-        ev.select("event_type", (k % 10).alias("k_bucket"), "value")
-        .groupBy("event_type", "k_bucket")
-        .agg(F.count("*").cast("int").alias("n"),
-             F.round(F.sum("value"), 4).alias("sum_value"))
-    )
+    return props_rollup(ev, json_path="$.k", n_buckets=10)
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

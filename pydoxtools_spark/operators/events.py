@@ -20,6 +20,7 @@ def sessionize(
     ts_col: str = "ts",
     tiebreak_col: str = "event_id",
     value_col: str = "value",
+    presplit: bool = False,
 ) -> DataFrame:
     """Gap-timeout sessionization: per user, events ordered by time
     (deterministic tie-break on `tiebreak_col`) start a NEW session
@@ -37,12 +38,22 @@ def sessionize(
 
     Scale: per-user window sort; users are many and sessions short, so
     skew is bounded by the busiest single user — a monitoring bot with
-    millions of events becomes one long task (pre-split such users by
-    day first if the log has them).  The streaming twin of this op is
+    millions of events would become one long task.  `presplit=True`
+    defuses exactly that: bucket by (user, day), sessionize within
+    buckets, stitch sessions across bucket boundaries (two window
+    passes, but the big one is keyed on (user, day) so the bot's
+    events spread over as many tasks as it has active days; the stitch
+    pass runs over SESSION rows, orders of magnitude fewer).  Output
+    is identical to the single-pass form (pytest-pinned on a
+    giant-user fixture).  The streaming twin of this op is
     applyInPandasWithState with a session timeout (streaming/
     stateful.py pattern).
     """
     from pyspark.sql import Window
+
+    if presplit:
+        return _sessionize_presplit(
+            events, gap_minutes, user_col, ts_col, tiebreak_col, value_col)
 
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -64,4 +75,98 @@ def sessionize(
             F.count("*").alias("n_events"),
             F.round(F.sum(value_col), 4).alias("sum_value"),
         )
+    )
+
+
+def _sessionize_presplit(
+    events: DataFrame,
+    gap_minutes: int,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Skew-hardened two-pass form (the r3 verdict's named mitigation):
+
+    pass 1  window over (user, DAY) — the giant user's events shard
+            across one task per active day instead of one mega-task;
+            emits mini-sessions (start, end, n, raw sum)
+    pass 2  the same lag/flag/cumsum over the per-user MINI-SESSION
+            stream (tiny: one row per session, not per event) merges
+            any pair of consecutive sessions whose boundary gap is
+            <= gap_minutes — exactly the sessions the day-bucket cut
+            falsely split, including chains spanning empty days
+            (consecutive-session merging is transitive through the
+            running sum)
+
+    sum_value is kept UNROUNDED through pass 1 and rounded once at the
+    end, matching the single-pass contract.
+    """
+    from pyspark.sql import Window
+
+    gap_us = gap_minutes * 60_000_000
+    day = F.date_trunc("day", F.col(ts_col))
+
+    # pass 1: per-(user, day) mini-sessions
+    wd = Window.partitionBy(user_col, "_day").orderBy(ts_col, tiebreak_col)
+    prev = F.lag(F.col(ts_col)).over(wd)
+    gap = F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+    brk = F.when(prev.isNull() | (gap > F.lit(gap_us)), 1).otherwise(0)
+    mini = (
+        events.withColumn("_day", day)
+        .withColumn("_brk", brk)
+        .withColumn(
+            "_mini",
+            F.sum("_brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(user_col, "_day", "_mini")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("_sum_raw"),
+        )
+    )
+
+    # pass 2: stitch across day boundaries — session-count rows only
+    ws = Window.partitionBy(user_col).orderBy(
+        "session_start", "_day", "_mini")
+    prev_end = F.lag("session_end").over(ws)
+    sgap = F.timestamp_diff("MICROSECOND", prev_end, F.col("session_start"))
+    sbrk = F.when(prev_end.isNull() | (sgap > F.lit(gap_us)), 1).otherwise(0)
+    stitched = mini.withColumn("_sbrk", sbrk).withColumn(
+        "session_idx",
+        F.sum("_sbrk").over(ws.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        stitched.groupBy(user_col, "session_idx")
+        .agg(
+            F.min("session_start").alias("session_start"),
+            F.max("session_end").alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("_sum_raw"), 4).alias("sum_value"),
+        )
+    )
+
+
+def props_rollup(
+    events: DataFrame,
+    json_path: str = "$.k",
+    n_buckets: int = 10,
+    group_col: str = "event_type",
+    props_col: str = "props",
+    value_col: str = "value",
+) -> DataFrame:
+    """Semi-structured props rollup: extract an integer via JSON path
+    from the event props column (get_json_object — JVM Jackson, no
+    UDF), bucket it, and aggregate per (group, bucket).
+
+    Scale shape: the JSON extraction happens in the scan projection
+    (whole-stage codegen), the rollup is one map-side-combinable
+    hash-agg — the whole op is a single shuffle on tiny keys.  The
+    DuckDB twin uses json_extract."""
+    k = F.get_json_object(props_col, json_path).cast("int")
+    return (
+        events.select(group_col, (k % n_buckets).alias("k_bucket"), value_col)
+        .groupBy(group_col, "k_bucket")
+        .agg(F.count("*").cast("int").alias("n"),
+             F.round(F.sum(value_col), 4).alias("sum_value"))
     )
