@@ -2008,12 +2008,17 @@ def oracle_sql() -> dict[str, str]:
     SELECT src, dst, rank FROM ranked WHERE rank <= 2 AND 1.0 - cs <= 0.1
     """
 
-    planes = random_planes(64, 8)
-    bucket_expr = " || ".join(
-        "(CASE WHEN list_dot_product(v, ["
-        + ", ".join(repr(x) for x in p)
-        + "]) >= 0 THEN '1' ELSE '0' END)"
-        for p in planes
+    # three-rotation form (the operator default since r4: measured
+    # recall 0.76 -> >=0.9 at threshold 0.95 on the 96k bench corpus)
+    nd_ctes = ", ".join(
+        f"nb{r} AS (SELECT vec_id, v, "
+        f"{_bucket_expr(random_planes(64, 8, 42 + r))} AS bucket FROM e)"
+        for r in range(3)
+    )
+    nd_selects = " UNION ALL ".join(
+        f"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM nb{r} a "
+        f"JOIN nb{r} b ON a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        for r in range(3)
     )
     neardup_oracle = f"""
     WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2021,13 +2026,13 @@ def oracle_sql() -> dict[str, str]:
       SELECT * FROM e0
       UNION ALL
       SELECT vec_id + 10000000, v FROM e0 WHERE vec_id < 40
-    ),
-    bucketed AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
-    FROM bucketed a JOIN bucketed b
-      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+    ), {nd_ctes},
+    cand AS (SELECT DISTINCT id_a, id_b FROM ({nd_selects}))
+    SELECT cand.id_a, cand.id_b,
+           round(list_cosine_similarity(sa.v, sb.v), 4) AS cos_sim
+    FROM cand JOIN e sa ON cand.id_a = sa.vec_id
+              JOIN e sb ON cand.id_b = sb.vec_id
+    WHERE list_cosine_similarity(sa.v, sb.v) >= 0.95
     """
     # unrolled fixed-iteration weighted pagerank (no dangling nodes in
     # this constructed graph: edge rule 1 always emits an out-edge).

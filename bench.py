@@ -34,7 +34,9 @@ HEADLINE = [
     "html_meta",              # metadata side table (r2)
     "text_paragraph_spans",   # dispatch + text path, pure SQL
     "markdown_spans",         # markdown branch (dispatch-routed kernel, r3)
+    "docx_spans",             # OOXML branch: zip+XML kernel e2e (r4)
     "pdf_bytes",              # raw-bytes parse + repair ladder + layout (r2)
+                              #   (Flate-compressed + TJ dialect since r4)
     "pdf_table_chars",        # bytes -> chars -> sweep-line -> frozen tree (r3)
     "doc_type_dispatch",
     "exact_dedup",
@@ -49,6 +51,7 @@ HEADLINE = [
     "textrank_summary",       # sentence graph -> pagerank chain (r3)
     "token_stats",
     "lang_id",
+    "sessionize",             # gap-timeout sessionization (r4 in suite)
     "events_rollup",
     "tpch_q1",
     "tpch_q3",
@@ -58,6 +61,103 @@ HEADLINE = [
 def _consume(df) -> int:
     """Force full evaluation without driver collect."""
     return df.count()
+
+
+# Canary reference: warm-rep + min-of-3 in a fresh session on this
+# host in a clean window (2026-08-17, round 4).  drift_factor =
+# canary_sec / CANARY_BASELINE_SEC; values near 1.0 mean comparable
+# host conditions, >1 means the WHOLE suite ran in a slow window and
+# raw cross-round deltas overstate regressions by about that factor.
+CANARY_BASELINE_SEC = 1.19
+
+
+def drift_canary(spark, sf_dir, reps: int = 3) -> float:
+    """Fixed pure-JVM calibration workload, timed before the suite
+    (r3 verdict: a judge could not separate host-VM drift from real
+    regression after the fact).  Two parts, both code that never
+    changes round-to-round: a seeded in-memory hash aggregate (no
+    I/O — raw codegen throughput) and tpch_q6 on the bench corpus
+    (parquet scan + filter + agg).  min-of-reps so a stray scheduler
+    hiccup doesn't pollute the calibration itself.  One UNTIMED warm
+    rep first: the calibration kernels must be JIT-warm before timing,
+    or the first bench of a session reads ~25% slow (the same JVM-warm
+    bias the scaling harness isolates with subprocesses)."""
+    best = None
+    for i in range(reps + 1):
+        t0 = time.monotonic()
+        spark.range(0, 5_000_000_000, 1, CPUS).selectExpr(
+            "bit_xor(xxhash64(id)) AS s").collect()  # ANSI-safe aggregate
+        entrymod.queries()["tpch_q6"](spark, sf_dir).count()
+        dt = time.monotonic() - t0
+        if i == 0:
+            continue  # warm rep: JIT + page-cache, never timed
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def ann_recall(spark) -> dict:
+    """Recall evidence for the approximate similarity paths (r3 verdict
+    item 8): a deterministic 96k-vector corpus (1000 seeded cluster
+    centers + per-vector noise, all JVM-side hash arithmetic), exact
+    brute-force ground truth over a 500-query sample, then
+      - knn_graph_lsh recall@4 (default 3 rotations), and
+      - embedding_neardup_pairs recall at threshold 0.95 (default 3
+        rotations since r4; 1 rotation measured 0.76).
+    """
+    from pyspark.sql import functions as F
+
+    from pydoxtools_spark.operators import similarity
+
+    n, centers, dim, k = 96_000, 1000, 64, 4
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"), (F.col("id") % centers).alias("c"))
+
+    def comp(j):
+        ctr = ((F.xxhash64(F.col("c"), j) % 2001 + 2001) % 2001 - 1000) / 1000.0
+        noise = ((F.xxhash64(F.col("vec_id"), j, F.lit(7)) % 2001 + 2001)
+                 % 2001 - 1000) / 12500.0
+        return ctr + noise
+
+    corpus = base.select(
+        "vec_id",
+        F.array(*[comp(F.lit(j)) for j in range(dim)]).alias("embedding"),
+    ).persist()
+    corpus.count()
+    sample = corpus.filter(F.col("vec_id") % 192 == 0)
+
+    exact = similarity.brute_force_topk(corpus, sample, k=k).persist()
+    n_exact = exact.count()
+    approx = similarity.knn_graph_lsh(
+        corpus, k=k, max_dist=2.0, dim=dim
+    ).filter(F.col("src") % 192 == 0)
+    hits = exact.join(
+        approx, (exact.query_id == approx.src)
+        & (exact.neighbor_id == approx.dst)).count()
+    knn_recall = round(hits / max(n_exact, 1), 4)
+
+    q = sample.select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("qvec"))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("cvec"))
+    ex_thr = (
+        q.join(c, q.query_id != c.neighbor_id)
+        .select("query_id", "neighbor_id",
+                similarity.cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+        .filter(F.col("cos") >= 0.95).persist()
+    )
+    n_thr = ex_thr.count()
+    nd = similarity.embedding_neardup_pairs(corpus, threshold=0.95, dim=dim)
+    ndp = nd.select("id_a", "id_b").union(
+        nd.select(F.col("id_b"), F.col("id_a"))
+    ).filter(F.col("id_a") % 192 == 0)
+    hits2 = ex_thr.join(
+        ndp, (ex_thr.query_id == ndp.id_a)
+        & (ex_thr.neighbor_id == ndp.id_b)).count()
+    for df in (corpus, exact, ex_thr):
+        df.unpersist()
+    return {"vectors": n, "queries_sampled": n // 192,
+            "knn_graph_lsh_recall_at_4": knn_recall,
+            "neardup_recall_at_095": round(hits2 / max(n_thr, 1), 4)}
 
 
 def run_suite(spark, sf_dir):
@@ -247,8 +347,13 @@ def main():
     # warm-up: spin up JVM + python workers so the first timed query
     # doesn't absorb one-time startup cost
     entrymod.q_html_main_content(spark, SF_DIR).limit(10).count()
+    canary_sec = drift_canary(spark, SF_DIR)
+    drift = round(canary_sec / CANARY_BASELINE_SEC, 3)
     times, _rows = run_suite(spark, SF_DIR)
     extr = extraction_throughput(spark, SF_DIR)
+    recall = None
+    if os.environ.get("SPARK_GRAFT_BENCH_RECALL", "1") != "0":
+        recall = ann_recall(spark)
     spark.stop()
 
     scaling = None
@@ -264,7 +369,19 @@ def main():
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extraction": extr,
+        "canary": {
+            "sec": canary_sec,
+            "baseline_sec": CANARY_BASELINE_SEC,
+            "drift_factor": drift,
+        },
+        # suite times divided by the canary drift factor: comparable
+        # across rounds even when the host VM is in a slow window
+        "queries_normalized": {
+            q: round(t / drift, 3) for q, t in times.items()
+        },
     }
+    if recall:
+        result["ann_recall"] = recall
     if scaling:
         result["scaling"] = scaling
     print(json.dumps(result))

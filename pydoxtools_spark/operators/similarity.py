@@ -588,7 +588,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
-    rotations: int = 1,
+    rotations: int = 3,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from matching
     random-hyperplane LSH buckets (identical vectors always share every
@@ -606,7 +606,9 @@ def embedding_neardup_pairs(
     (1 - acos(c)/pi)^b; with R independent plane sets the miss prob
     compounds to (1 - p)^R.  Candidates are deduped on bare (id, id)
     pairs BEFORE the exact-cosine verify, so each extra rotation adds
-    one bucket self-join, never re-verification."""
+    one bucket self-join, never re-verification.  Default rotations=3:
+    measured recall at threshold 0.95 on the 96k-vector bench corpus
+    is ~0.76 with one table vs >=0.9 with three (bench.ann_recall)."""
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     cand = None
     for r in range(rotations):
