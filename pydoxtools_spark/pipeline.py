@@ -92,6 +92,34 @@ def explode_input_spans(documents_in: DataFrame) -> DataFrame:
     )
 
 
+def explode_input_refs(documents_in: DataFrame) -> DataFrame:
+    """Ref-only twin of explode_input_spans: the span payload text is
+    projected away BEFORE the explode via GetArrayStructFields
+    (`spans.kind` / `spans.media_ref`) + arrays_zip, the shape Spark
+    4.1's nested-schema pruning DOES push into the parquet scan —
+    ReadSchema carries kind+media_ref only, never span.text.  (A
+    `transform(spans, x -> struct(...))` lambda does NOT prune —
+    verified on this Spark — and plain posexplode drags the full
+    payload; this is the 100x mitigation named since r2: ref-only
+    branches stop re-reading the text payload they never use.  With a
+    flat Iceberg schema this projection would be free; with the nested
+    interleaved layout the field-extraction IS the projection.)"""
+    return documents_in.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("spans.kind").alias("kind"),
+                F.col("spans.media_ref").alias("media_ref"),
+            )
+        ).alias("span_idx", "span"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("span.kind").alias("in_kind"),
+        F.col("span.media_ref").alias("in_ref"),
+    )
+
+
 # ------------------------------------------------------------- branches
 
 
@@ -517,19 +545,26 @@ def extract(
         from pyspark import StorageLevel
 
         spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+    # Ref-only branches (pdf/image/docx/ocr) never touch span.text:
+    # they read through the column-pruned ref explode (scan carries
+    # kind+media_ref only — the r2-named 100x mitigation, now code;
+    # A/B at the 96k corpus in BASELINE.md).  In persist_spans mode
+    # the single cached copy is cheaper than any re-scan, so they
+    # share it instead.
+    ref_spans = spans if persist_spans else explode_input_refs(documents_in)
     out = (
         _text_branch(spans)
         .unionByName(_markdown_branch(spans))
         .unionByName(_html_branch(spans, parallelism))
-        .unionByName(_pdf_branch(spans, pdf_elements, table_mode))
-        .unionByName(_image_branch(spans))
-        .unionByName(_unknown_kind_branch(spans))
+        .unionByName(_pdf_branch(ref_spans, pdf_elements, table_mode))
+        .unionByName(_image_branch(ref_spans))
+        .unionByName(_unknown_kind_branch(ref_spans))
         .unionByName(_sentinel_branch(documents_in))
     )
     if doc_blobs is not None:
-        out = out.unionByName(_docx_branch(spans, doc_blobs))
+        out = out.unionByName(_docx_branch(ref_spans, doc_blobs))
     if media_blobs is not None and ocr_model is not None:
-        out = out.unionByName(_ocr_branch(spans, media_blobs, ocr_model))
+        out = out.unionByName(_ocr_branch(ref_spans, media_blobs, ocr_model))
 
     # running char offset over the doc's reading-ordered span stream;
     # error spans contribute 0 and are routed to the error column.
