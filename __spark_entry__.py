@@ -402,6 +402,117 @@ def q_docx_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_odt_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument (odt) branch (reference pandoc coverage,
+    extract_pandoc.py:98-167): the SAME analytic block structure as
+    docx_spans built as a real ODF zip per doc, routed via odt_bytes
+    through the container kernel's format probe — so the docx oracle
+    applies verbatim (the block-mapping contract across formats)."""
+    from pydoxtools_spark.pipeline import extract as _extract
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    docs_in = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("odt_bytes").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("media://odt/"),
+                         F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+    def gen_blobs(batches):
+        import pandas as pd
+
+        from pydoxtools_spark.functions.odf import build_tiny_odt
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = str(doc_id)
+                data = build_tiny_odt([
+                    ("header", f"Doc {did}", 1),
+                    ("text", text or ""),
+                    ("list", [f"alpha {did}", "beta"]),
+                    ("table", [[f"a{did}", "b"], ["c", f"d{did}"]]),
+                    ("image", "media/image1.png"),
+                ])
+                rows.append((f"media://odt/{did}", data))
+            yield pd.DataFrame(rows, columns=["ref", "content"])
+
+    blobs = d.repartition(32).mapInPandas(gen_blobs, "ref string, content binary")
+    out = _extract(spark, docs_in, None, parallelism=8, doc_blobs=blobs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("spans").alias("ord", "span"),
+    ).select(
+        "doc_id", "ord",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("span_text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def q_epub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB branch: a two-chapter epub per doc (XHTML in spine order)
+    routed via epub_bytes; chapters ride the EXISTING html kernel, so
+    spans are the html branch's — header + paragraph per chapter, with
+    running offsets across the whole book."""
+    from pydoxtools_spark.pipeline import extract as _extract
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    docs_in = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("epub_bytes").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("media://epub/"),
+                         F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+    def gen_blobs(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from pydoxtools_spark.functions.odf import build_tiny_epub
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = str(doc_id)
+                t = _re.sub(r"\s+", " ", (text or "").strip(" "))
+                chapters = [
+                    f"<html><body><h1>Chapter 1 of {did}</h1>"
+                    f"<p>{t}</p></body></html>",
+                    f"<html><body><h1>Chapter 2 of {did}</h1>"
+                    f"<p>closing words {did}</p></body></html>",
+                ]
+                rows.append((f"media://epub/{did}", build_tiny_epub(chapters)))
+            yield pd.DataFrame(rows, columns=["ref", "content"])
+
+    blobs = d.repartition(32).mapInPandas(gen_blobs, "ref string, content binary")
+    out = _extract(spark, docs_in, None, parallelism=8, doc_blobs=blobs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("spans").alias("ord", "span"),
+    ).select(
+        "doc_id", "ord",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("span_text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
 def q_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailer-dict metadata extraction (reference meta_infos,
     document.py:383-415 + pdfminer doc.info): deterministic multi-page
@@ -1349,6 +1460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markdown_spans": q_markdown_spans,
         "wiki_spans": q_wiki_spans,
         "docx_spans": q_docx_spans,
+        "odt_spans": q_odt_spans,
+        "epub_spans": q_epub_spans,
         "pdf_bytes": q_pdf_bytes,
         "pdf_meta": q_pdf_meta,
         "pdf_table_chars": q_pdf_table_chars,
@@ -2394,6 +2507,25 @@ def oracle_sql() -> dict[str, str]:
         "markdown_spans": markdown_oracle,
         "wiki_spans": wiki_oracle,
         "docx_spans": docx_oracle,
+        # the odt fixture mirrors the docx block structure exactly, so
+        # the SAME oracle pins the cross-format block-mapping contract
+        "odt_spans": docx_oracle,
+        "epub_spans": r"""
+    WITH d AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+               FROM documents),
+    x AS (SELECT doc_id, t,
+                 'Chapter 1 of ' || doc_id AS h1,
+                 'Chapter 2 of ' || doc_id AS h2,
+                 'closing words ' || doc_id AS c2
+          FROM d)
+    SELECT doc_id, 0 AS ord, 'header' AS kind, h1 AS span_text,
+           CAST(NULL AS VARCHAR) AS media_ref, 0 AS offset FROM x
+    UNION ALL SELECT doc_id, 1, 'text', t, NULL, length(h1) FROM x
+    UNION ALL SELECT doc_id, 2, 'header', h2, NULL,
+           length(h1) + length(t) FROM x
+    UNION ALL SELECT doc_id, 3, 'text', c2, NULL,
+           length(h1) + length(t) + length(h2) FROM x
+    """,
         "ocr_spans": """
     SELECT doc_id, 0 AS ord, 'image' AS kind,
            CAST(NULL AS VARCHAR) AS span_text,

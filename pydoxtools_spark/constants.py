@@ -36,6 +36,8 @@ IN_KIND_TEXT = "text"
 IN_KIND_PDF_REF = "pdf_ref"      # media_ref -> pre-parsed pdf_elements rows
 IN_KIND_PDF_BYTES = "pdf_bytes"  # media_ref -> pdf_blobs(ref, content) row
 IN_KIND_DOCX_BYTES = "docx_bytes"  # media_ref -> doc_blobs(ref, content) row
+IN_KIND_ODT_BYTES = "odt_bytes"    # media_ref -> doc_blobs(ref, content) row
+IN_KIND_EPUB_BYTES = "epub_bytes"  # media_ref -> doc_blobs(ref, content) row
 IN_KIND_IMAGE_REF = "image_ref"
 
 # Paragraph separator for plain-text docs and full_text joins

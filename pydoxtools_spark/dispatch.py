@@ -101,6 +101,8 @@ def doc_type_sql(expr: str) -> str:
 TYPE_PDF = "application/pdf"
 TYPE_DOCX = ("application/vnd.openxmlformats-officedocument"
              ".wordprocessingml.document")
+TYPE_ODT = "application/vnd.oasis.opendocument.text"
+TYPE_EPUB = "application/epub+zip"
 TYPE_BINARY = "application/octet-stream"
 
 
@@ -114,19 +116,33 @@ def blob_doc_type(content: bytes) -> str:
         return TYPE_PDF
     if content[:4] == b"PK\x03\x04":
         from .functions.docx import is_docx
+        from .functions.odf import is_epub, is_odt
 
         if is_docx(content):
             return TYPE_DOCX
+        if is_epub(content):
+            return TYPE_EPUB
+        if is_odt(content):
+            return TYPE_ODT
     return TYPE_BINARY
 
 
 def blob_in_kind(content: bytes) -> str:
     """blob -> documents_in span kind for extract() routing."""
-    from .constants import IN_KIND_DOCX_BYTES, IN_KIND_PDF_BYTES
+    from .constants import (
+        IN_KIND_DOCX_BYTES,
+        IN_KIND_EPUB_BYTES,
+        IN_KIND_ODT_BYTES,
+        IN_KIND_PDF_BYTES,
+    )
 
     t = blob_doc_type(content)
     if t == TYPE_PDF:
         return IN_KIND_PDF_BYTES
     if t == TYPE_DOCX:
         return IN_KIND_DOCX_BYTES
+    if t == TYPE_ODT:
+        return IN_KIND_ODT_BYTES
+    if t == TYPE_EPUB:
+        return IN_KIND_EPUB_BYTES
     return "binary"

@@ -52,8 +52,10 @@ from pyspark.sql.types import (
 
 from .constants import (
     IN_KIND_DOCX_BYTES,
+    IN_KIND_EPUB_BYTES,
     IN_KIND_HTML,
     IN_KIND_IMAGE_REF,
+    IN_KIND_ODT_BYTES,
     IN_KIND_PDF_BYTES,
     IN_KIND_PDF_REF,
     IN_KIND_TEXT,
@@ -350,11 +352,22 @@ def _pdf_branch(spans: DataFrame, pdf_elements: DataFrame,
 
 
 def _docx_kernel(batches):
-    """mapInPandas kernel: docx zip bytes -> output spans
-    (functions/docx.py; reference extract_pandoc.py:98-167 pandoc
-    Block mapping, rebuilt as a direct ECMA-376 parse).  Parse failure
-    is a contained error span, never task death."""
-    from .functions.docx import extract_docx_spans
+    """mapInPandas kernel for zip-container documents: bytes -> output
+    spans.  Self-describing dispatch per blob (magic + part probes,
+    NOT the declared in_kind — a mislabeled blob still parses, and a
+    hopeless one errors): docx (functions/docx.py, ECMA-376), odt
+    (functions/odf.py, OASIS ODF), epub (functions/odf.py, XHTML
+    chapters through the html kernel in spine order) — the reference's
+    pandoc coverage (extract_pandoc.py:98-167) rebuilt from the
+    container specs.  Parse failure is a contained error span, never
+    task death."""
+    from .functions.docx import extract_docx_spans, is_docx
+    from .functions.odf import (
+        extract_epub_spans,
+        extract_odt_spans,
+        is_epub,
+        is_odt,
+    )
 
     cols = ["doc_id", "span_idx", "ord1", "ord2", "ord3", "kind", "text",
             "media_ref"]
@@ -365,7 +378,17 @@ def _docx_kernel(batches):
         ):
             try:
                 blob = bytes(content) if content is not None else b""
-                for i, (k, t, r) in enumerate(extract_docx_spans(blob)):
+                if is_docx(blob):
+                    extracted = extract_docx_spans(blob)
+                elif is_epub(blob):
+                    extracted = extract_epub_spans(blob)
+                elif is_odt(blob):
+                    extracted = extract_odt_spans(blob)
+                else:
+                    raise ValueError(
+                        "unrecognized container (docx/odt/epub probes all"
+                        " negative)")
+                for i, (k, t, r) in enumerate(extracted):
                     rows.append((doc_id, int(span_idx), float(i), 0.0, 0.0,
                                  k, t, r))
             except Exception as e:  # failure containment, never task death
@@ -376,13 +399,18 @@ def _docx_kernel(batches):
         yield pd.DataFrame(rows, columns=cols)
 
 
+_CONTAINER_IN_KINDS = (IN_KIND_DOCX_BYTES, IN_KIND_ODT_BYTES,
+                       IN_KIND_EPUB_BYTES)
+
+
 def _docx_branch(spans: DataFrame, doc_blobs: DataFrame) -> DataFrame:
-    """docx branch: docx_bytes spans join their binary payloads from
-    doc_blobs(ref, content) — same side-table shape as pdf_blobs — and
-    run the OOXML kernel.  A span whose ref has no blob row yields no
-    spans (the doc still appears with an empty array via the
+    """Container-document branch: docx/odt/epub_bytes spans join their
+    binary payloads from doc_blobs(ref, content) — same side-table
+    shape as pdf_blobs — and run the container kernel (which probes
+    the actual format per blob).  A span whose ref has no blob row
+    yields no spans (the doc still appears with an empty array via the
     sentinel), mirroring the pdf_ref convention."""
-    refs = spans.filter(F.col("in_kind") == IN_KIND_DOCX_BYTES).select(
+    refs = spans.filter(F.col("in_kind").isin(*_CONTAINER_IN_KINDS)).select(
         "doc_id", "span_idx", "in_ref"
     )
     joined = refs.join(doc_blobs, refs.in_ref == doc_blobs.ref).select(
@@ -427,7 +455,8 @@ def _ocr_branch(spans: DataFrame, media_blobs: DataFrame,
 
 _KNOWN_IN_KINDS = (
     IN_KIND_TEXT, IN_KIND_HTML, IN_KIND_PDF_REF, IN_KIND_PDF_BYTES,
-    IN_KIND_DOCX_BYTES, IN_KIND_IMAGE_REF,
+    IN_KIND_DOCX_BYTES, IN_KIND_ODT_BYTES, IN_KIND_EPUB_BYTES,
+    IN_KIND_IMAGE_REF,
 )
 
 

@@ -163,3 +163,65 @@ def test_ocr_branch_through_extract(spark):
     plain = {r["doc_id"]: r for r in
              extract(spark, docs, None, parallelism=2).collect()}
     assert [s["kind"] for s in plain["a"]["spans"]] == ["image"]
+
+
+def test_odt_writer_reader_and_docx_twin():
+    """ODT round trip; identical span stream to the docx rendering of
+    the same blocks (the cross-format block-mapping contract)."""
+    from pydoxtools_spark.functions.odf import (
+        build_tiny_odt, extract_odt_spans, is_odt)
+
+    data = build_tiny_odt(BLOCKS)
+    assert is_odt(data)
+    assert data == build_tiny_odt(BLOCKS)
+    assert extract_odt_spans(data) == extract_docx_spans(
+        build_tiny_docx(BLOCKS))
+    # docx zip must NOT probe as odt and vice versa
+    assert not is_odt(build_tiny_docx(BLOCKS))
+    assert not is_docx(data)
+
+
+def test_epub_rides_html_kernel_in_spine_order():
+    from pydoxtools_spark.functions.htmlparse import extract_html_spans
+    from pydoxtools_spark.functions.odf import (
+        build_tiny_epub, extract_epub_spans, is_epub)
+
+    chs = ["<html><body><h1>One</h1><p>first</p></body></html>",
+           "<html><body><h1>Two</h1><p>second</p></body></html>"]
+    data = build_tiny_epub(chs)
+    assert is_epub(data)
+    want = [s for ch in chs for s in extract_html_spans(ch)]
+    assert extract_epub_spans(data) == want
+    assert [k for (k, _t, _r) in want] == ["header", "text"] * 2
+
+
+def test_container_branch_probes_actual_format(spark):
+    """The container kernel dispatches on the BLOB's real format, not
+    the declared in_kind: an odt blob delivered under docx_bytes still
+    parses (self-describing containers); junk is a contained error."""
+    from pydoxtools_spark.functions.odf import build_tiny_epub, build_tiny_odt
+    from pydoxtools_spark.pipeline import extract
+    from pydoxtools_spark.schemas import DOCUMENTS_IN
+
+    odt = build_tiny_odt(BLOCKS)
+    epub = build_tiny_epub(
+        ["<html><body><h1>E</h1><p>chapter text</p></body></html>"])
+    docs = spark.createDataFrame(
+        [{"doc_id": "odt-as-docx", "spans": [
+            {"kind": "docx_bytes", "text": None,
+             "media_ref": "b://1", "offset": 0}]},
+         {"doc_id": "epub", "spans": [
+             {"kind": "epub_bytes", "text": None,
+              "media_ref": "b://2", "offset": 0}]}],
+        schema=DOCUMENTS_IN)
+    blobs = spark.createDataFrame(
+        [("b://1", bytearray(odt)), ("b://2", bytearray(epub))],
+        "ref string, content binary")
+    rows = {r["doc_id"]: r for r in
+            extract(spark, docs, None, parallelism=2,
+                    doc_blobs=blobs).collect()}
+    assert [s["kind"] for s in rows["odt-as-docx"]["spans"]][:2] == [
+        "header", "text"]
+    assert rows["odt-as-docx"]["error"] is None
+    e = [(s["kind"], s["text"]) for s in rows["epub"]["spans"]]
+    assert e == [("header", "E"), ("text", "chapter text")]
