@@ -513,6 +513,58 @@ def q_epub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rtf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF branch (reference pandoc coverage): header/paragraph/table
+    blocks as real RTF bytes (control words, hex escapes, \\trowd
+    tables), routed via rtf_bytes through the container kernel's
+    format probe; same canonical span forms as docx/odt."""
+    from pydoxtools_spark.pipeline import extract as _extract
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    docs_in = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("rtf_bytes").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("media://rtf/"),
+                         F.col("doc_id").cast("string")).alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+    def gen_blobs(batches):
+        import pandas as pd
+
+        from pydoxtools_spark.functions.rtf import build_tiny_rtf
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                did = str(doc_id)
+                data = build_tiny_rtf([
+                    ("header", f"Doc {did}", 1),
+                    ("text", text or ""),
+                    ("table", [[f"a{did}", "b"], ["c", f"d{did}"]]),
+                ])
+                rows.append((f"media://rtf/{did}", data))
+            yield pd.DataFrame(rows, columns=["ref", "content"])
+
+    blobs = d.repartition(32).mapInPandas(gen_blobs, "ref string, content binary")
+    out = _extract(spark, docs_in, None, parallelism=8, doc_blobs=blobs)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("spans").alias("ord", "span"),
+    ).select(
+        "doc_id", "ord",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("span_text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
 def q_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailer-dict metadata extraction (reference meta_infos,
     document.py:383-415 + pdfminer doc.info): deterministic multi-page
@@ -1462,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_spans": q_docx_spans,
         "odt_spans": q_odt_spans,
         "epub_spans": q_epub_spans,
+        "rtf_spans": q_rtf_spans,
         "pdf_bytes": q_pdf_bytes,
         "pdf_meta": q_pdf_meta,
         "pdf_table_chars": q_pdf_table_chars,
@@ -2525,6 +2578,19 @@ def oracle_sql() -> dict[str, str]:
            length(h1) + length(t) FROM x
     UNION ALL SELECT doc_id, 3, 'text', c2, NULL,
            length(h1) + length(t) + length(h2) FROM x
+    """,
+        "rtf_spans": r"""
+    WITH d AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+               FROM documents),
+    x AS (SELECT doc_id, t,
+                 'Doc ' || doc_id AS h,
+                 'a' || doc_id || ' | b' || chr(10) || 'c | d' || doc_id AS tbl
+          FROM d)
+    SELECT doc_id, 0 AS ord, 'header' AS kind, h AS span_text,
+           CAST(NULL AS VARCHAR) AS media_ref, 0 AS offset FROM x
+    UNION ALL SELECT doc_id, 1, 'text', t, NULL, length(h) FROM x
+    UNION ALL SELECT doc_id, 2, 'table', tbl, NULL,
+           length(h) + length(t) FROM x
     """,
         "ocr_spans": """
     SELECT doc_id, 0 AS ord, 'image' AS kind,

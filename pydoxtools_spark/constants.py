@@ -38,6 +38,7 @@ IN_KIND_PDF_BYTES = "pdf_bytes"  # media_ref -> pdf_blobs(ref, content) row
 IN_KIND_DOCX_BYTES = "docx_bytes"  # media_ref -> doc_blobs(ref, content) row
 IN_KIND_ODT_BYTES = "odt_bytes"    # media_ref -> doc_blobs(ref, content) row
 IN_KIND_EPUB_BYTES = "epub_bytes"  # media_ref -> doc_blobs(ref, content) row
+IN_KIND_RTF_BYTES = "rtf_bytes"    # media_ref -> doc_blobs(ref, content) row
 IN_KIND_IMAGE_REF = "image_ref"
 
 # Paragraph separator for plain-text docs and full_text joins

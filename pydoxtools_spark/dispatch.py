@@ -103,6 +103,7 @@ TYPE_DOCX = ("application/vnd.openxmlformats-officedocument"
              ".wordprocessingml.document")
 TYPE_ODT = "application/vnd.oasis.opendocument.text"
 TYPE_EPUB = "application/epub+zip"
+TYPE_RTF = "application/rtf"
 TYPE_BINARY = "application/octet-stream"
 
 
@@ -114,6 +115,8 @@ def blob_doc_type(content: bytes) -> str:
     by ingestion to assign in_kind before extract()."""
     if content[:5] == b"%PDF-":
         return TYPE_PDF
+    if content[:5] == b"{\\rtf":
+        return TYPE_RTF
     if content[:4] == b"PK\x03\x04":
         from .functions.docx import is_docx
         from .functions.odf import is_epub, is_odt
@@ -134,6 +137,7 @@ def blob_in_kind(content: bytes) -> str:
         IN_KIND_EPUB_BYTES,
         IN_KIND_ODT_BYTES,
         IN_KIND_PDF_BYTES,
+        IN_KIND_RTF_BYTES,
     )
 
     t = blob_doc_type(content)
@@ -145,4 +149,6 @@ def blob_in_kind(content: bytes) -> str:
         return IN_KIND_ODT_BYTES
     if t == TYPE_EPUB:
         return IN_KIND_EPUB_BYTES
+    if t == TYPE_RTF:
+        return IN_KIND_RTF_BYTES
     return "binary"

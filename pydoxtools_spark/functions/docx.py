@@ -85,8 +85,18 @@ def _para_style(p) -> str | None:
     return st.get(f"{{{W}}}val") if st is not None else None
 
 
-def _is_list_para(p) -> bool:
-    return p.find(f"{{{W}}}pPr/{{{W}}}numPr") is not None
+def _list_num_id(p) -> str | None:
+    """The paragraph's list id (w:numPr/w:numId val), or None for
+    non-list paragraphs.  Adjacent paragraphs sharing a numId belong
+    to ONE list; a numId change starts a new list (the OOXML/pandoc
+    convention — found by the cross-format property test: odt keeps
+    adjacent text:list elements separate, so docx must split on numId
+    to agree)."""
+    npr = p.find(f"{{{W}}}pPr/{{{W}}}numPr")
+    if npr is None:
+        return None
+    nid = npr.find(f"{{{W}}}numId")
+    return (nid.get(f"{{{W}}}val") if nid is not None else "") or ""
 
 
 def _para_image_ref(p, rels: dict[str, str]) -> str | None:
@@ -132,11 +142,14 @@ def extract_docx_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
 
     spans: list[tuple[str, str | None, str | None]] = []
     list_items: list[str] = []
+    list_id: str | None = None
 
     def flush_list():
+        nonlocal list_id
         if list_items:
             spans.append((KIND_LIST, list_to_text(list_items), None))
             list_items.clear()
+        list_id = None
 
     for el in body:
         tag = el.tag
@@ -147,9 +160,13 @@ def extract_docx_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
                 spans.append((KIND_IMAGE, None, ref))
                 continue
             text = norm_ws(_runs_text(el))
-            if _is_list_para(el):
+            nid = _list_num_id(el)
+            if nid is not None:
+                if list_items and nid != list_id:
+                    flush_list()
                 if text:
                     list_items.append(text)
+                    list_id = nid
                 continue
             flush_list()
             if not text:
@@ -181,14 +198,15 @@ def _xesc(s: str) -> str:
     return re.sub(r"[&<>\"]", lambda m: _XML_ESC[m.group(0)], s)
 
 
-def _p(text: str, style: str | None = None, num: bool = False) -> str:
+def _p(text: str, style: str | None = None, num: int | None = None) -> str:
     ppr = ""
-    if style or num:
+    if style or num is not None:
         ppr = "<w:pPr>"
         if style:
             ppr += f'<w:pStyle w:val="{style}"/>'
-        if num:
-            ppr += '<w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/></w:numPr>'
+        if num is not None:
+            ppr += ('<w:numPr><w:ilvl w:val="0"/>'
+                    f'<w:numId w:val="{num}"/></w:numPr>')
         ppr += "</w:pPr>"
     return (f"<w:p>{ppr}<w:r><w:t xml:space=\"preserve\">{_xesc(text)}"
             "</w:t></w:r></w:p>")
@@ -202,6 +220,7 @@ def build_tiny_docx(blocks: list[tuple]) -> bytes:
     """
     body: list[str] = []
     images: list[str] = []
+    n_lists = 0
     for blk in blocks:
         kind = blk[0]
         if kind == "header":
@@ -209,7 +228,10 @@ def build_tiny_docx(blocks: list[tuple]) -> bytes:
         elif kind == "text":
             body.append(_p(blk[1]))
         elif kind == "list":
-            body.extend(_p(item, num=True) for item in blk[1])
+            # one numId per list block: adjacent lists stay separate
+            # (the parser splits list runs on numId change)
+            n_lists += 1
+            body.extend(_p(item, num=n_lists) for item in blk[1])
         elif kind == "table":
             rows = "".join(
                 "<w:tr>" + "".join(
@@ -278,7 +300,8 @@ def build_tiny_docx(blocks: list[tuple]) -> bytes:
             ("_rels/.rels", root_rels),
             ("word/document.xml", document),
             ("word/_rels/document.xml.rels", rels),
-        ] + [(f"word/{t}", f"png-placeholder-{t}") for t in images]:
+        ] + [(f"word/{t}", f"png-placeholder-{t}")
+             for t in dict.fromkeys(images)]:  # dedupe repeated targets
             zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
             z.writestr(zi, payload)
     return buf.getvalue()

@@ -1,0 +1,232 @@
+r"""From-scratch minimal RTF reader/writer pair.
+
+The reference covers .rtf through pandoc (extract_pandoc.py:98-167);
+pandoc is absent, so this parses the RTF 1.x subset that covers
+ordinary word-processor output, from public-spec knowledge:
+
+  groups        `{ ... }`, state scoped per group
+  control words `\word[-]N` with the space-delimiter rule
+  destinations  `\fonttbl \colortbl \stylesheet \info \pict` and any
+                `{\*\...}` group are skipped wholesale
+  text          `\'hh` cp1252-ish hex escapes, `\uN` unicode with the
+                `\ucN` fallback-skip convention, `\\ \{ \} \~` escapes
+  blocks        `\par` paragraph breaks; `\outlinelevelN` marks the
+                paragraph a header; `\trowd ... \cell ... \row` tables
+
+Block -> span mapping matches the docx/odt/markdown branches (same
+KIND_*, norm_ws / table_to_text canonical forms).  Lists and images
+are out of the minimal subset (RTF encodes lists as styled text).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..constants import KIND_HEADER, KIND_TABLE, KIND_TEXT
+from .spantext import norm_ws, table_to_text
+
+
+class RtfParseError(ValueError):
+    pass
+
+
+def is_rtf(data: bytes) -> bool:
+    return data[:5] == b"{\\rtf"
+
+
+_TOKEN = re.compile(
+    rb"\\'([0-9a-fA-F]{2})"        # hex escape
+    rb"|\\([a-zA-Z]+)(-?\d+)? ?"   # control word (+optional param, space eaten)
+    rb"|\\([^a-zA-Z])"             # control symbol
+    rb"|([{}])"                    # group delimiters
+    rb"|([^\\{}]+)"                # plain text run
+)
+
+_SURROGATE_PAIR = re.compile("[\ud800-\udbff][\udc00-\udfff]")
+
+
+def _join_surrogates(s: str) -> str:
+    """Recombine UTF-16 surrogate pairs emitted as two \\u words (the
+    RTF convention for supplementary-plane chars) into real code
+    points — Arrow/Spark strings reject lone surrogates."""
+    return _SURROGATE_PAIR.sub(
+        lambda m: chr(0x10000 + ((ord(m.group(0)[0]) - 0xD800) << 10)
+                      + (ord(m.group(0)[1]) - 0xDC00)), s)
+
+
+_SKIP_DESTINATIONS = {
+    b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
+    b"themedata", b"listtable", b"listoverridetable", b"generator",
+}
+
+
+def extract_rtf_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
+    """RTF bytes -> ordered (kind, text, media_ref) spans."""
+    if not is_rtf(data):
+        raise RtfParseError("not rtf (missing {\\rtf header)")
+
+    spans: list[tuple[str, str | None, str | None]] = []
+    para: list[str] = []
+    grid: list[list[str]] = []
+    row: list[str] = []
+    header_level: int | None = None
+    in_table = False
+
+    # group state stack: (skipping, uc_fallback_count)
+    stack: list[tuple[bool, int]] = []
+    skipping = False
+    uc = 1
+    pending_uc_skip = 0
+
+    def flush_table():
+        nonlocal grid, row, in_table
+        if grid:
+            spans.append((KIND_TABLE, table_to_text(grid), None))
+        grid, row, in_table = [], [], False
+
+    def flush_para():
+        nonlocal header_level
+        t = _join_surrogates(norm_ws("".join(para)))
+        para.clear()
+        if not in_table:
+            flush_table()
+        if not t:
+            header_level = None
+            return
+        if header_level is not None:
+            spans.append((KIND_HEADER, t, None))
+        else:
+            spans.append((KIND_TEXT, t, None))
+        header_level = None
+
+    def emit_text(s: str):
+        nonlocal pending_uc_skip
+        if skipping or not s:
+            return
+        if pending_uc_skip:
+            take = min(pending_uc_skip, len(s))
+            pending_uc_skip -= take
+            s = s[take:]
+            if not s:
+                return
+        para.append(s)
+
+    for m in _TOKEN.finditer(data):
+        hexesc, word, param, symbol, brace, text = m.groups()
+        if brace is not None:
+            if brace == b"{":
+                stack.append((skipping, uc))
+            else:
+                if stack:
+                    skipping, uc = stack.pop()
+            continue
+        if skipping:
+            continue
+        if hexesc is not None:
+            emit_text(bytes([int(hexesc, 16)]).decode("latin-1"))
+            continue
+        if symbol is not None:
+            c = symbol.decode("latin-1")
+            if c == "*":
+                skipping = True  # {\*\...} destination
+            elif c in "\\{}":
+                emit_text(c)
+            elif c == "~":
+                emit_text(" ")
+            elif c in "\r\n":
+                pass
+            continue
+        if text is not None:
+            emit_text(text.replace(b"\r", b"").replace(b"\n", b"")
+                      .decode("latin-1"))
+            continue
+        # control word
+        w = word
+        n = int(param) if param is not None else None
+        if w in _SKIP_DESTINATIONS:
+            skipping = True
+        elif w == b"uc":
+            uc = n or 0
+        elif w == b"u":
+            cp = n if n is not None else 0
+            if cp < 0:
+                cp += 65536
+            emit_text(chr(cp))
+            pending_uc_skip += uc
+        elif w == b"par":
+            flush_para()
+        elif w in (b"line", b"tab"):
+            emit_text(" ")
+        elif w == b"outlinelevel":
+            header_level = (n or 0) + 1
+        elif w == b"trowd":
+            in_table = True
+        elif w == b"intbl":
+            in_table = True
+        elif w == b"cell":
+            row.append(_join_surrogates(norm_ws("".join(para))))
+            para.clear()
+        elif w == b"row":
+            if row:
+                grid.append(row)
+            row = []
+        elif w == b"pard":
+            # \pard resets paragraph defaults, incl. \intbl — the next
+            # paragraph is outside the table unless re-marked
+            in_table = False
+        # all other control words: formatting, ignored
+    flush_para()
+    flush_table()
+    return spans
+
+
+# ------------------------------------------------------------------ writer
+
+
+def _rtf_esc(s: str) -> str:
+    out = []
+    for ch in s:
+        cp = ord(ch)
+        if ch in "\\{}":
+            out.append("\\" + ch)
+        elif cp < 128:
+            out.append(ch)
+        elif cp <= 0xFFFF:
+            # \u takes a SIGNED 16-bit value (RTF spec): CJK above
+            # 0x7FFF goes negative
+            out.append(f"\\u{cp - 65536 if cp > 32767 else cp}?")
+        else:
+            # supplementary plane: UTF-16 surrogate pair convention
+            cp -= 0x10000
+            hi = 0xD800 + (cp >> 10)
+            lo = 0xDC00 + (cp & 0x3FF)
+            out.append(f"\\u{hi - 65536}?\\u{lo - 65536}?")
+    return "".join(out)
+
+
+def build_tiny_rtf(blocks: list[tuple]) -> bytes:
+    """blocks (header/text/table forms as in docx/odt writers; lists
+    and images are outside the minimal RTF subset) -> deterministic
+    RTF bytes."""
+    body: list[str] = []
+    for blk in blocks:
+        kind = blk[0]
+        if kind == "header":
+            body.append(
+                f"{{\\pard\\outlinelevel{blk[2] - 1} "
+                f"{_rtf_esc(blk[1])}\\par}}")
+        elif kind == "text":
+            body.append(f"{{\\pard {_rtf_esc(blk[1])}\\par}}")
+        elif kind == "table":
+            for r in blk[1]:
+                cells = "".join(
+                    f" {_rtf_esc(c)}\\cell" for c in r)
+                cellx = "".join(
+                    f"\\cellx{1000 * (i + 1)}" for i in range(len(r)))
+                body.append(f"\\trowd{cellx}{cells}\\row ")
+            body.append("{\\pard\\par}")
+        else:
+            raise ValueError(f"unsupported rtf block kind: {kind}")
+    doc = ("{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Helvetica;}}\n"
+           + "\n".join(body) + "\n}")
+    return doc.encode("latin-1")

@@ -58,6 +58,7 @@ from .constants import (
     IN_KIND_ODT_BYTES,
     IN_KIND_PDF_BYTES,
     IN_KIND_PDF_REF,
+    IN_KIND_RTF_BYTES,
     IN_KIND_TEXT,
     KIND_ERROR,
     KIND_IMAGE,
@@ -368,6 +369,7 @@ def _docx_kernel(batches):
         is_epub,
         is_odt,
     )
+    from .functions.rtf import extract_rtf_spans, is_rtf
 
     cols = ["doc_id", "span_idx", "ord1", "ord2", "ord3", "kind", "text",
             "media_ref"]
@@ -378,7 +380,9 @@ def _docx_kernel(batches):
         ):
             try:
                 blob = bytes(content) if content is not None else b""
-                if is_docx(blob):
+                if is_rtf(blob):
+                    extracted = extract_rtf_spans(blob)
+                elif is_docx(blob):
                     extracted = extract_docx_spans(blob)
                 elif is_epub(blob):
                     extracted = extract_epub_spans(blob)
@@ -386,8 +390,8 @@ def _docx_kernel(batches):
                     extracted = extract_odt_spans(blob)
                 else:
                     raise ValueError(
-                        "unrecognized container (docx/odt/epub probes all"
-                        " negative)")
+                        "unrecognized container (rtf/docx/odt/epub probes"
+                        " all negative)")
                 for i, (k, t, r) in enumerate(extracted):
                     rows.append((doc_id, int(span_idx), float(i), 0.0, 0.0,
                                  k, t, r))
@@ -400,7 +404,7 @@ def _docx_kernel(batches):
 
 
 _CONTAINER_IN_KINDS = (IN_KIND_DOCX_BYTES, IN_KIND_ODT_BYTES,
-                       IN_KIND_EPUB_BYTES)
+                       IN_KIND_EPUB_BYTES, IN_KIND_RTF_BYTES)
 
 
 def _docx_branch(spans: DataFrame, doc_blobs: DataFrame) -> DataFrame:
@@ -456,7 +460,7 @@ def _ocr_branch(spans: DataFrame, media_blobs: DataFrame,
 _KNOWN_IN_KINDS = (
     IN_KIND_TEXT, IN_KIND_HTML, IN_KIND_PDF_REF, IN_KIND_PDF_BYTES,
     IN_KIND_DOCX_BYTES, IN_KIND_ODT_BYTES, IN_KIND_EPUB_BYTES,
-    IN_KIND_IMAGE_REF,
+    IN_KIND_RTF_BYTES, IN_KIND_IMAGE_REF,
 )
 
 

@@ -225,3 +225,108 @@ def test_container_branch_probes_actual_format(spark):
     assert rows["odt-as-docx"]["error"] is None
     e = [(s["kind"], s["text"]) for s in rows["epub"]["spans"]]
     assert e == [("header", "E"), ("text", "chapter text")]
+
+
+def test_rtf_round_trip_and_subset_semantics():
+    """RTF minimal subset: header/text/table round trip; hex escapes,
+    \\u signed-16-bit unicode (CJK goes negative) + surrogate pairs,
+    destination groups skipped."""
+    from pydoxtools_spark.functions.rtf import (
+        RtfParseError, build_tiny_rtf, extract_rtf_spans, is_rtf)
+
+    blocks = [("header", "Doc 7", 1),
+              ("text", "body   with 漢字 and 😀"),
+              ("table", [["a", "b"], ["c 7", "d"]]),
+              ("header", "Sub", 2),
+              ("text", "tail")]
+    data = build_tiny_rtf(blocks)
+    assert is_rtf(data)
+    assert data == build_tiny_rtf(blocks)
+    assert extract_rtf_spans(data) == [
+        ("header", "Doc 7", None),
+        ("text", "body with 漢字 and 😀", None),
+        ("table", "a | b\nc 7 | d", None),
+        ("header", "Sub", None),
+        ("text", "tail", None),
+    ]
+    raw = rb"{\rtf1\ansi{\fonttbl{\f0 X;}}{\*\generator Fake;}{\pard caf\'e9\par}}"
+    assert extract_rtf_spans(raw) == [("text", "caf\xe9", None)]
+    import pytest
+    with pytest.raises(RtfParseError):
+        extract_rtf_spans(b"plain text")
+
+
+def test_rtf_branch_through_extract(spark):
+    from pydoxtools_spark.functions.rtf import build_tiny_rtf
+    from pydoxtools_spark.pipeline import extract
+    from pydoxtools_spark.schemas import DOCUMENTS_IN
+
+    rtf = build_tiny_rtf([("header", "H", 1), ("text", "body text")])
+    docs = spark.createDataFrame(
+        [{"doc_id": "r", "spans": [
+            {"kind": "rtf_bytes", "text": None,
+             "media_ref": "b://r", "offset": 0}]}],
+        schema=DOCUMENTS_IN)
+    blobs = spark.createDataFrame(
+        [("b://r", bytearray(rtf))], "ref string, content binary")
+    (row,) = extract(spark, docs, None, parallelism=2,
+                     doc_blobs=blobs).collect()
+    assert [(s["kind"], s["text"], s["offset"]) for s in row["spans"]] == [
+        ("header", "H", 0), ("text", "body text", 1)]
+
+
+def test_cross_format_block_mapping_property():
+    """Property: ANY block sequence renders to the SAME span stream
+    through the docx and odt writers+parsers (two independent
+    container dialects agreeing pins the block-mapping contract), and
+    the header/text/table subset agrees with rtf too."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pydoxtools_spark.functions.odf import build_tiny_odt, extract_odt_spans
+    from pydoxtools_spark.functions.rtf import build_tiny_rtf, extract_rtf_spans
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta{", "x&y",
+             "<tag>", 'q"q', "漢字"]
+
+    def gen_blocks(rng, with_rich):
+        blocks = []
+        for _ in range(rng.randint(1, 8)):
+            kind = rng.choice(
+                ["header", "text", "table"] + (["list", "image"]
+                                               if with_rich else []))
+            if kind == "header":
+                blocks.append(("header",
+                               " ".join(rng.choices(words, k=rng.randint(1, 3))),
+                               rng.randint(1, 4)))
+            elif kind == "text":
+                blocks.append(("text",
+                               " ".join(rng.choices(words, k=rng.randint(1, 9)))))
+            elif kind == "list":
+                blocks.append(("list", [
+                    " ".join(rng.choices(words, k=rng.randint(1, 3)))
+                    for _ in range(rng.randint(1, 4))]))
+            elif kind == "table":
+                cols = rng.randint(1, 3)
+                blocks.append(("table", [
+                    [" ".join(rng.choices(words, k=rng.randint(1, 2)))
+                     for _ in range(cols)]
+                    for _ in range(rng.randint(1, 3))]))
+            else:
+                blocks.append(("image", f"media/img{rng.randint(1, 9)}.png"))
+        return blocks
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**6))
+    def check(seed):
+        rng = random.Random(seed)
+        rich = gen_blocks(rng, with_rich=True)
+        assert (extract_docx_spans(build_tiny_docx(rich))
+                == extract_odt_spans(build_tiny_odt(rich))), seed
+        plain = [b for b in gen_blocks(rng, with_rich=False)]
+        assert (extract_rtf_spans(build_tiny_rtf(plain))
+                == extract_docx_spans(build_tiny_docx(plain))), seed
+
+    check()
