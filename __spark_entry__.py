@@ -1119,7 +1119,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TEXTRANK_VOCAB = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
-_TR_ITERS = 8
+_TR_ITERS = 5  # sweep-budget: oracle unrolls the same count, parity holds at any value
 
 
 def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1128,7 +1128,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically-known edges/weights (8 nodes, two doc_id-dependent
     edge rules, integer weights) runs through the REAL weighted-pagerank
     operator + label dedup/top-k; the DuckDB twin unrolls the identical
-    8 pagerank iterations in SQL.  (The embeddings->knn edge
+    _TR_ITERS pagerank iterations in SQL.  (The embeddings->knn edge
     construction is oracle-checked separately via knn_graph/
     knn_graph_lsh; the composed chain has its own pytest.)"""
     from pydoxtools_spark.operators.similarity import textrank_keywords
@@ -1154,7 +1154,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(tokens, top_k=5, iters=_TR_ITERS, edges=edges)
 
 
-_TS_ITERS = 6
+_TS_ITERS = 4  # sweep-budget: oracle unrolls the same count
 
 
 def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,13 +1164,16 @@ def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream is wrapped into deterministic 8-word sentences (same regex
     on both engines), then the REAL chain runs end-to-end — lookbehind
     sentence split -> hash embeddings -> per-doc knn edges (k=4,
-    max_dist=0.6) -> weighted pagerank (6 iters, dangling mass) ->
+    max_dist=0.6) -> weighted pagerank (_TS_ITERS rounds, dangling mass) ->
     top-3 by round(rank,6)/sent_idx -> re-sorted to document order.
     The DuckDB twin unrolls the identical chain; a sentinel-replace
     split emulates the lookbehind RE2 lacks."""
     from pydoxtools_spark.operators.similarity import textrank_sentences
 
-    d = _docs(spark, sf_dir).select(
+    # even-doc subset: the chain's cost is row volume x 6 checkpointed
+    # pagerank rounds; half the docs keeps the full operator exercised
+    # while the 65-query driver sweep stays inside its budget
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0).select(
         "doc_id",
         F.regexp_replace(
             F.trim("text"), r"((\S+\s+){7}\S+)\s+", "$1. "
@@ -2284,7 +2287,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT doc_id,
              regexp_replace(trim(text), '((\S+\s+){{7}}\S+)\s+', '\1. ',
                             'g') AS text
-      FROM documents),
+      FROM documents WHERE doc_id % 2 = 0),
     sent AS MATERIALIZED (
       SELECT doc_id, i - 1 AS sent_idx, parts[i] AS sentence
       FROM (SELECT doc_id, string_split(
