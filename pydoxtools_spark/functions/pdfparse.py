@@ -105,6 +105,28 @@ def _esc(s: str) -> bytes:
     ).encode("utf-8")
 
 
+def _render_page_content(page: dict, use_tj: bool) -> bytes:
+    content = bytearray()
+    for x, y, size, text in page.get("texts", []):
+        content += b"BT /F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm " % (size, x, y)
+        if use_tj:
+            mid = text.find(" ", len(text) // 2)
+            segs = [text] if mid < 0 else [text[:mid], text[mid:]]
+            content += b"[ "
+            for j, seg in enumerate(segs):
+                if j:
+                    content += b"0 "
+                content += b"(" + _esc(seg) + b") "
+            content += b"] TJ ET\n"
+        else:
+            content += b"(" + _esc(text) + b") Tj ET\n"
+    for x, y, w, h in page.get("rects", []):
+        content += b"%.2f %.2f %.2f %.2f re S\n" % (x, y, w, h)
+    for x0, y0, x1, y1 in page.get("lines", []):
+        content += b"%.2f %.2f m %.2f %.2f l S\n" % (x0, y0, x1, y1)
+    return bytes(content)
+
+
 def build_tiny_pdf(
     pages: list[dict],
     compress: bool = False,
@@ -138,24 +160,7 @@ def build_tiny_pdf(
     )
     font_obj = 3 + 2 * n_pages
     for i, page in enumerate(pages):
-        content = bytearray()
-        for x, y, size, text in page.get("texts", []):
-            content += b"BT /F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm " % (size, x, y)
-            if use_tj:
-                mid = text.find(" ", len(text) // 2)
-                segs = [text] if mid < 0 else [text[:mid], text[mid:]]
-                content += b"[ "
-                for j, seg in enumerate(segs):
-                    if j:
-                        content += b"0 "
-                    content += b"(" + _esc(seg) + b") "
-                content += b"] TJ ET\n"
-            else:
-                content += b"(" + _esc(text) + b") Tj ET\n"
-        for x, y, w, h in page.get("rects", []):
-            content += b"%.2f %.2f %.2f %.2f re S\n" % (x, y, w, h)
-        for x0, y0, x1, y1 in page.get("lines", []):
-            content += b"%.2f %.2f m %.2f %.2f l S\n" % (x0, y0, x1, y1)
+        content = bytearray(_render_page_content(page, use_tj))
         filt = b""
         if compress:
             content = bytearray(zlib.compress(bytes(content)))
@@ -316,6 +321,63 @@ def _page_fonts(page: bytes, objs: dict[int, bytes]) -> dict[bytes, dict]:
     return fonts
 
 
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.S)
+_OBJSTM_PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_object_streams(data: bytes, objs: dict[int, bytes],
+                           objstart: dict[int, int]) -> None:
+    """PDF 1.5 object streams (ISO 32000 §7.5.7): a /Type /ObjStm
+    stream packs compressed non-stream objects — real writers put the
+    catalog/page/font DICTS there, so the flat `N 0 obj` scan alone
+    misses them.  Inflate each ObjStm, read the `num offset` pair
+    header (/N pairs, object data starting at /First), and merge the
+    contained objects into the object map.  ObjStm members can never
+    themselves carry streams, so no offsets are needed for them."""
+    for num, body in list(objs.items()):
+        head = body.split(b"stream", 1)[0]
+        if b"/ObjStm" not in head:
+            continue
+        nm, fm = _N_RE.search(head), _FIRST_RE.search(head)
+        if not (nm and fm):
+            continue
+        try:
+            h, payload = _stream_payload_at(data, objstart[num])
+            decoded = _maybe_flate(h, payload)
+        except PdfParseError:
+            continue  # damaged ObjStm: skip, lenient may still salvage
+        first = int(fm.group(1))
+        pairs = _OBJSTM_PAIR_RE.findall(decoded[:first])[: int(nm.group(1))]
+        offs = [(int(o), int(at)) for o, at in pairs]
+        for i, (onum, at) in enumerate(offs):
+            end = offs[i + 1][1] if i + 1 < len(offs) else len(decoded) - first
+            objs.setdefault(onum, decoded[first + at:first + end])
+
+
+def _page_content(page: bytes, data: bytes,
+                  objstart: dict[int, int]) -> bytes:
+    """Decoded content of one page: a single /Contents ref or a
+    /Contents array (real writers split big pages into several
+    streams; ISO 32000 §7.8.2 says the concatenation is the content)."""
+    am = _CONTENTS_ARR_RE.search(page)
+    if am:
+        refs = [int(r.group(1)) for r in _REF_RE.finditer(am.group(1))]
+    else:
+        cm = _CONTENTS_RE.search(page)
+        if not cm:
+            raise PdfParseError("page without /Contents")
+        refs = [int(cm.group(1))]
+    parts = []
+    for cnum in refs:
+        if cnum not in objstart:
+            raise PdfParseError("dangling /Contents reference")
+        head, payload = _stream_payload_at(data, objstart[cnum])
+        parts.append(_maybe_flate(head, payload))
+    return b"\n".join(parts)
+
+
 def _content_streams_strict(data: bytes) -> list[tuple[bytes, dict]]:
     """-> [(decoded content stream, font map)] in /Kids page order."""
     if not data.startswith(b"%PDF-"):
@@ -328,8 +390,17 @@ def _content_streams_strict(data: bytes) -> list[tuple[bytes, dict]]:
         xref_at = int(tail[sx + 9:].split()[0])
     except (ValueError, IndexError) as e:
         raise PdfParseError(f"bad startxref: {e}") from None
-    if not data[xref_at:xref_at + 4] == b"xref":
-        raise PdfParseError("startxref does not point at an xref table")
+    if data[xref_at:xref_at + 4] != b"xref":
+        # PDF 1.5+: startxref may point at a cross-reference STREAM
+        # object instead of a classic table (ISO 32000 §7.5.8).  The
+        # object scan below doesn't need the xref entries — accepting
+        # the /Type /XRef object validates the trailer structure.
+        om = re.match(rb"(\d+)\s+\d+\s+obj\b", data[xref_at:xref_at + 32])
+        probe = data[xref_at:xref_at + 512]
+        if not (om and (b"/XRef" in probe)):
+            raise PdfParseError(
+                "startxref points at neither an xref table nor an"
+                " /XRef stream")
 
     objs: dict[int, bytes] = {}
     objstart: dict[int, int] = {}
@@ -337,6 +408,7 @@ def _content_streams_strict(data: bytes) -> list[tuple[bytes, dict]]:
         num = int(m.group(1))
         objs[num] = m.group(2)
         objstart[num] = m.start(2)
+    _expand_object_streams(data, objs, objstart)
     pages_obj = next(
         (b for b in objs.values() if b"/Type /Pages" in b or b"/Type/Pages" in b),
         None,
@@ -351,14 +423,7 @@ def _content_streams_strict(data: bytes) -> list[tuple[bytes, dict]]:
         page = objs.get(int(ref.group(1)))
         if page is None:
             raise PdfParseError("dangling /Kids reference")
-        cm = _CONTENTS_RE.search(page)
-        if not cm:
-            raise PdfParseError("page without /Contents")
-        cnum = int(cm.group(1))
-        if cnum not in objstart:
-            raise PdfParseError("dangling /Contents reference")
-        head, payload = _stream_payload_at(data, objstart[cnum])
-        streams.append((_maybe_flate(head, payload),
+        streams.append((_page_content(page, data, objstart),
                         _page_fonts(page, objs)))
     return streams
 
@@ -470,6 +535,7 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
     stack: list[object] = []
     size = 12.0
     cur_font: dict = {}
+    leading = 0.0  # /TL text leading (TL, TD set it; T* / ' use it)
     tx = ty = 0.0
     lx = ly = 0.0  # text line start (for Td/TD)
     cur_x = cur_y = 0.0  # path current point
@@ -503,11 +569,9 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
         texts.append((tx, ty, size, s, adv, text_obj))
         tx += sum(adv)
 
-    for tok in tokens:
-        if isinstance(tok, tuple):
-            stack.append(tok)
-            continue
-        op = tok
+    def _dispatch_op(op: bytes):
+        nonlocal size, cur_font, leading, tx, ty, lx, ly
+        nonlocal cur_x, cur_y, path_min, path_max, text_obj
         if op == b"Tf":
             size = num(stack[-1])
             if len(stack) >= 2 and isinstance(stack[-2], bytes):
@@ -518,11 +582,28 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
             lx, ly = tx, ty
             stack.clear()
         elif op in (b"Td", b"TD"):
+            if op == b"TD":  # ISO 32000 §9.4.2: TD also sets leading
+                leading = -num(stack[-1])
             lx, ly = lx + num(stack[-2]), ly + num(stack[-1])
+            tx, ty = lx, ly
+            stack.clear()
+        elif op == b"TL":
+            leading = num(stack[-1])
+            stack.clear()
+        elif op == b"T*":
+            ly -= leading
             tx, ty = lx, ly
             stack.clear()
         elif op == b"Tj":
             s = stack[-1][1] if isinstance(stack[-1], tuple) else ""
+            show(s)
+            stack.clear()
+        elif op in (b"'", b'"'):
+            # ' = T* + show; " = set word/char spacing + T* + show
+            # (spacings ignored in this subset)
+            s = stack[-1][1] if isinstance(stack[-1], tuple) else ""
+            ly -= leading
+            tx, ty = lx, ly
             show(s)
             stack.clear()
         elif op == b"TJ":
@@ -569,6 +650,19 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
             stack.clear()
         else:
             stack.append(op)
+
+    for tok in tokens:
+        if isinstance(tok, tuple):
+            stack.append(tok)
+            continue
+        try:
+            _dispatch_op(tok)
+        except (IndexError, ValueError, TypeError):
+            # malformed operand stack: the lenient rung feeds this
+            # interpreter arbitrary recovered blobs (split content
+            # streams cut mid-operator, inflated non-content bytes) —
+            # skip the broken op, keep salvaging the rest
+            stack.clear()
     return [t[:5] for t in texts], graphics
 
 
@@ -627,3 +721,97 @@ def pdf_elements_from_bytes(data: bytes, doc_id: str,
                 linewidth=1.0, media_ref=None,
             ))
     return rows
+
+
+def build_pdf_v15(pages: list[dict], use_tj: bool = True) -> bytes:
+    """PDF 1.5-dialect writer for round-trip tests: the catalog /
+    pages / page / font DICTS live inside a compressed /Type /ObjStm
+    object stream, every page's content is split across a TWO-entry
+    /Contents array of FlateDecode streams, and the trailer is a
+    /Type /XRef cross-reference STREAM (W [1 3 1] packed entries, no
+    classic xref table) — the shape modern `compress`-mode writers
+    emit, and exactly what the r4 strict reader additions accept."""
+    n_pages = len(pages)
+    # numbering: 1 catalog, 2 pages, 3..2+n page dicts, 3+n font
+    # (all inside the ObjStm); then per page two content objects,
+    # then the ObjStm, then the XRef stream
+    font_num = 3 + n_pages
+    first_content = font_num + 1
+    objstm_num = first_content + 2 * n_pages
+    xref_num = objstm_num + 1
+
+    packed: list[tuple[int, bytes]] = []
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    packed.append((1, b"<< /Type /Catalog /Pages 2 0 R >>"))
+    packed.append(
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()))
+    for i in range(n_pages):
+        c1, c2 = first_content + 2 * i, first_content + 2 * i + 1
+        packed.append((3 + i, (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} "
+            f"{PAGE_H:g}] /Contents [{c1} 0 R {c2} 0 R] /Resources "
+            f"<< /Font << /F1 {font_num} 0 R >> >> >>").encode()))
+    packed.append(
+        (font_num,
+         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"))
+
+    header = " ".join(f"{num} {off}" for num, off in zip(
+        [n for n, _ in packed],
+        # offsets computed over the concatenated bodies
+        _running_offsets([b for _, b in packed]))).encode() + b"\n"
+    objstm_payload = zlib.compress(
+        header + b"".join(b for _, b in packed))
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode"
+        b" /Length %d >>\nstream\n%s\nendstream"
+        % (len(packed), len(header), len(objstm_payload), objstm_payload))
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    for i, page in enumerate(pages):
+        raw = _render_page_content(page, use_tj)
+        cut = len(raw) // 2
+        for k, part in enumerate((raw[:cut], raw[cut:])):
+            comp = zlib.compress(part)
+            emit(first_content + 2 * i + k,
+                 b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s"
+                 b"\nendstream" % (len(comp), comp))
+    emit(objstm_num, objstm_body)
+
+    # XRef stream: W [1 3 1]; type-0 free entry for object 0, type-2
+    # (objstm, index) entries for packed dicts, type-1 offsets for the
+    # top-level objects
+    rows = bytearray(b"\x00" + (0).to_bytes(3, "big") + b"\xff")
+    for idx in range(1, xref_num + 1):
+        packed_idx = next(
+            (j for j, (n, _) in enumerate(packed) if n == idx), None)
+        if packed_idx is not None:
+            rows += b"\x02" + objstm_num.to_bytes(3, "big") + bytes(
+                [packed_idx])
+        elif idx in offsets:
+            rows += b"\x01" + offsets[idx].to_bytes(3, "big") + b"\x00"
+        elif idx == xref_num:
+            rows += b"\x01" + len(out).to_bytes(3, "big") + b"\x00"
+        else:
+            rows += b"\x00" + (0).to_bytes(3, "big") + b"\x00"
+    xref_payload = zlib.compress(bytes(rows))
+    xref_at = len(out)
+    emit(xref_num, (
+        b"<< /Type /XRef /Size %d /W [1 3 1] /Root 1 0 R"
+        b" /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+        % (xref_num + 1, len(xref_payload), xref_payload)))
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(out)
+
+
+def _running_offsets(bodies: list[bytes]) -> list[int]:
+    offs, pos = [], 0
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b)
+    return offs

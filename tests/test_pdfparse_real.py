@@ -170,3 +170,50 @@ def test_unsupported_filter_contained():
         assert isinstance(rows, list)
     except PdfParseError:
         pass
+
+
+def test_pdf15_objstm_xrefstream_contents_array():
+    """PDF 1.5 dialect: catalog/page/font dicts inside a compressed
+    /Type /ObjStm, per-page TWO-entry /Contents arrays, and an /XRef
+    cross-reference STREAM trailer — parses via STRICT to the same
+    elements as the classic dialect, and the repair rung recovers the
+    content streams when the trailer is stripped."""
+    from pydoxtools_spark.functions.pdfparse import build_pdf_v15
+
+    pages = [PAGES[0], {"texts": [(72.0, 650.0, 12.0, "second page text")]}]
+    base = pdf_elements_from_bytes(build_tiny_pdf(pages), "d")
+    v15 = build_pdf_v15(pages)
+    assert b"/ObjStm" in v15 and b"/XRef" in v15
+    assert b"\nxref\n" not in v15  # no classic table ("startxref" aside)
+    assert pdf_elements_from_bytes(v15, "d") == base
+    # chars mode rides along
+    assert (pdf_elements_from_bytes(v15, "d", emit_chars=True)
+            == pdf_elements_from_bytes(build_tiny_pdf(pages), "d",
+                                       emit_chars=True))
+    # trailer stripped: lenient salvages what it can — the /Contents
+    # ARRAY halves are cut mid-operator, so full fidelity needs the
+    # structure; the contract here is partial recovery WITHOUT a task
+    # death (strings wholly inside one half survive)
+    dmg = v15[: v15.rfind(b"startxref")]
+    texts = [r["rawtext"] for r in pdf_elements_from_bytes(dmg, "d")
+             if r["type"] == "Text"]
+    assert "Doc X" in texts
+
+
+def test_tstar_quote_and_leading_operators():
+    """ISO 32000 §9.4.2-3: TL sets leading, T* advances one line,
+    ' is T*+show, TD sets leading to -ty; all used by real writers."""
+    content = (b"BT /F1 10 Tf 14 TL 1 0 0 1 72 700 Tm (first) Tj "
+               b"T* (second) Tj (third) ' ET")
+    data = _one_page_pdf(content)
+    rows = [r for r in pdf_elements_from_bytes(data, "d")
+            if r["type"] == "Text"]
+    assert [(r["rawtext"], r["y0"]) for r in rows] == [
+        ("first", 700.0), ("second", 686.0), ("third", 672.0)]
+    # TD's implicit leading: TD -12 then ' drops another 12
+    content2 = (b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (a) Tj "
+                b"0 -12 TD (b) Tj (c) ' ET")
+    rows2 = [r for r in pdf_elements_from_bytes(_one_page_pdf(content2), "d")
+             if r["type"] == "Text"]
+    assert [(r["rawtext"], r["y0"]) for r in rows2] == [
+        ("a", 700.0), ("b", 688.0), ("c", 676.0)]
