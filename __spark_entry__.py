@@ -193,17 +193,28 @@ def q_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
+            from pydoxtools_spark.functions.pdfparse import build_pdf_v15
+
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 # mirror the oracle's trim + \s+ collapse exactly
                 t = _re.sub(r"\s+", " ", (text or "").strip(" "))
-                # real-world dialect: FlateDecode streams + TJ arrays
-                # (round 4) — layout-identical to the plain dialect, so
-                # the oracle is unchanged while the parse exercises
-                # decompression + array-show + kern handling
-                data = build_tiny_pdf([{
+                pages = [{
                     "texts": [(72.0, 700.0, 18.0, f"Doc {doc_id}"),
                               (72.0, 600.0, 10.0, t)],
-                }], compress=True, use_tj=True)
+                }]
+                # real-world dialect rotation (round 4) — every variant
+                # is layout-identical by construction, so the oracle is
+                # unchanged while the parse exercises FlateDecode, TJ
+                # arrays, and (every 3rd doc) the full PDF 1.5 shape:
+                # ObjStm-packed dicts, xref STREAM trailer, /Contents
+                # arrays split mid-operator
+                if int(doc_id) % 3 == 1 and int(doc_id) % 5 != 0:
+                    # (never the damaged subset: a trailer-stripped v15
+                    # loses the structure its split /Contents arrays
+                    # need for exact recovery — partial salvage only)
+                    data = build_pdf_v15(pages)
+                else:
+                    data = build_tiny_pdf(pages, compress=True, use_tj=True)
                 if int(doc_id) % 5 == 0:
                     # damaged: repair rung must recover (and now also
                     # zlib-sniff the compressed stream blobs)

@@ -775,7 +775,12 @@ def build_pdf_v15(pages: list[dict], use_tj: bool = True) -> bytes:
 
     for i, page in enumerate(pages):
         raw = _render_page_content(page, use_tj)
-        cut = len(raw) // 2
+        # split at an operator boundary: a lexical token must not span
+        # two streams of a /Contents array (ISO 32000 §7.8.2) — cutting
+        # mid-string would corrupt the literal
+        cut = raw.find(b"\n", len(raw) // 2) + 1
+        if cut <= 0:
+            cut = len(raw)
         for k, part in enumerate((raw[:cut], raw[cut:])):
             comp = zlib.compress(part)
             emit(first_content + 2 * i + k,
