@@ -524,6 +524,39 @@ def q_epub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF page rasterization (reference PDFImageRenderer,
+    pdf_utils.py:151-161) under the oracle: deterministic single-page
+    PDFs render through the box-level rasterizer to real BMPs; the
+    integer floor/ceil pixel convention makes the darkened-pixel count
+    analytically computable from the known layout (one 18pt text box
+    at (72, 700) whose width is 0.5 em/char)."""
+    from pydoxtools_spark.operators.multimodal import render_pdf_pages
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_blobs(batches):
+        import pandas as pd
+
+        from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                data = build_tiny_pdf(
+                    [{"texts": [(72.0, 700.0, 18.0, f"Doc {doc_id}")]}],
+                    compress=True)
+                rows.append((str(doc_id), data))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = d.repartition(32).mapInPandas(
+        gen_blobs, "doc_id string, content binary")
+    return render_pdf_pages(blobs, scale=0.25).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "p_num", "width", "height", "n_dark",
+    )
+
+
 def q_rtf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RTF branch (reference pandoc coverage): header/paragraph/table
     blocks as real RTF bytes (control words, hex escapes, \\trowd
@@ -1539,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_intersect": q_bbox_intersect,
         "media_features": q_media_features,
         "ocr_spans": q_ocr_spans,
+        "pdf_render": q_pdf_render,
         "doc_type_dispatch": q_doc_type_dispatch,
         # -- text/NLP scalar functions (§2.8) + bag ops (§2.7) --
         "token_stats": q_token_stats,
@@ -2592,6 +2626,11 @@ def oracle_sql() -> dict[str, str]:
            length(h1) + length(t) FROM x
     UNION ALL SELECT doc_id, 3, 'text', c2, NULL,
            length(h1) + length(t) + length(h2) FROM x
+    """,
+        "pdf_render": """
+    SELECT doc_id, 0 AS p_num, 153 AS width, 198 AS height,
+           CAST(5 * ceil(2.25 * length('Doc ' || doc_id)) AS INT) AS n_dark
+    FROM documents
     """,
         "rtf_spans": r"""
     WITH d AS (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t

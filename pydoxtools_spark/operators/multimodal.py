@@ -248,3 +248,88 @@ def pdf_meta_from_blobs(blobs: DataFrame, id_col: str = "doc_id",
     return blobs.select(
         F.col(id_col).cast("string").alias(id_col), content_col
     ).mapInPandas(kernel, PDF_META)
+
+
+PDF_RENDER = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("p_num", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_dark", IntegerType(), True),
+        StructField("content", BinaryType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def render_pdf_pages(blobs: DataFrame, scale: float = 0.25,
+                     id_col: str = "doc_id",
+                     content_col: str = "content") -> DataFrame:
+    """PDF page rasterization (reference PDFImageRenderer,
+    pdf_utils.py:151-161 renders pages to PIL images for OCR/preview):
+    a deterministic BOX-LEVEL rasterizer — each parsed element's bbox
+    darkens its pixel rectangle (text gray 64, graphics 128) on a
+    white page scaled by `scale` — producing a REAL BMP per page that
+    flows into media_features / ocr_extract like any other image blob.
+    Glyph-level rendering is the font-stack plug point; the box raster
+    keeps the pdf -> image -> features chain executable and
+    pixel-exactly checkable.
+
+    Pixel convention: x0/y0 floor, x1/y1 ceil after scaling, clipped to
+    the page — integer-exact for fixture geometry, so oracles can
+    compute n_dark analytically.  One output row per (doc, page);
+    parse failure is an error row, never task death."""
+
+    def kernel(batches):
+        import numpy as np
+
+        from ..functions.media import build_bmp
+        from ..functions.pdfparse import (
+            PAGE_H,
+            PAGE_W,
+            pdf_elements_from_bytes,
+        )
+
+        w_px = int(np.ceil(PAGE_W * scale))
+        h_px = int(np.ceil(PAGE_H * scale))
+        cols = [f.name for f in PDF_RENDER.fields]
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    els = pdf_elements_from_bytes(
+                        bytes(content) if content is not None else b"",
+                        doc_id=str(did))
+                except Exception as e:
+                    rows.append((did, None, None, None, None, None,
+                                 f"{type(e).__name__}: {e}"))
+                    continue
+                pages: dict[int, list] = {}
+                for r in els:
+                    if r["type"] in ("Text", "Graphic"):
+                        pages.setdefault(r["p_num"], []).append(r)
+                for p_num in sorted(pages):
+                    px = np.full((h_px, w_px, 3), 255, dtype=np.uint8)
+                    for r in pages[p_num]:
+                        x0 = max(0, int(np.floor(r["x0"] * scale)))
+                        y0 = max(0, int(np.floor(r["y0"] * scale)))
+                        x1 = min(w_px, int(np.ceil(r["x1"] * scale)))
+                        y1 = min(h_px, int(np.ceil(r["y1"] * scale)))
+                        # degenerate boxes (horizontal/vertical rules)
+                        # still paint a 1px hairline
+                        if x1 <= x0:
+                            x1 = min(w_px, x0 + 1)
+                        if y1 <= y0:
+                            y1 = min(h_px, y0 + 1)
+                        level = 64 if r["type"] == "Text" else 128
+                        # page y is bottom-up; raster row 0 is top
+                        px[h_px - y1:h_px - y0, x0:x1] = level
+                    n_dark = int((px[:, :, 0] != 255).sum())
+                    rows.append((did, int(p_num), w_px, h_px, n_dark,
+                                 build_bmp(px), None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.select(
+        F.col(id_col).cast("string").alias(id_col), content_col
+    ).mapInPandas(kernel, PDF_RENDER)

@@ -939,3 +939,43 @@ def test_props_rollup_json_path(spark):
     assert out[("b", 7)] == (1, 4.0)
     assert out[("a", None)] == (1, 8.0)
     assert out[("b", None)] == (2, 48.0)
+
+
+def test_render_pdf_pages_box_raster(spark):
+    """PDF -> page BMP raster chain (reference PDFImageRenderer): real
+    BMP out, dark-pixel count equals the analytic box area under the
+    floor/ceil pixel convention, pages separate, junk blobs contained —
+    and the raster feeds media_features like any other image."""
+    from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+    from pydoxtools_spark.operators.multimodal import (
+        media_features, render_pdf_pages)
+
+    pages = [
+        {"texts": [(72.0, 700.0, 18.0, "Doc X")]},          # 1 text box
+        {"texts": [(72.0, 650.0, 12.0, "p2")],
+         "lines": [(100.0, 100.0, 200.0, 100.0)]},          # text + rule
+    ]
+    blobs = spark.createDataFrame(
+        [("g", bytearray(build_tiny_pdf(pages, compress=True))),
+         ("bad", bytearray(b"not a pdf"))],
+        "doc_id string, content binary")
+    out = render_pdf_pages(blobs, scale=0.25)
+    rows = {(r["doc_id"], r["p_num"]): r for r in out.collect()}
+    import math
+
+    r0 = rows[("g", 0)]
+    assert (r0["width"], r0["height"]) == (153, 198)
+    assert r0["n_dark"] == (math.ceil(18 + 2.25 * 5) - 18) * 5
+    r1 = rows[("g", 1)]
+    # 12pt text at (72,650): x1=72+6*2=84 -> ceil(21)-18=3 wide,
+    # y: 162.5..165.5 -> floor162..ceil166 = 4 tall; the hairline rule:
+    # x 25..50, y floor(25)..ceil(25) = 1 tall, 25 wide
+    assert r1["n_dark"] == 3 * 4 + 25 * 1
+    assert ("bad", None) in rows and rows[("bad", None)]["error"]
+    # raster feeds the media pipeline: BMP decodes with exact dims
+    feats = media_features(out.filter("error IS NULL").select(
+        F.concat_ws("#", "doc_id", "p_num").alias("media_ref"),
+        F.lit("image").alias("media_type"), "content",
+        F.lit(None).cast("map<string,string>").alias("meta"))).collect()
+    assert all(f["decode_error"] is None for f in feats)
+    assert all((f["width"], f["height"]) == (153, 198) for f in feats)
