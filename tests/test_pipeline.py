@@ -214,3 +214,32 @@ def test_replay_committed_run_id_is_noop_and_keeps_data(spark, corpus,
     assert os.path.isdir(run_dir)
     assert os.path.exists(f"{out}/_snapshots/fixedrun.json")
     assert read_extracted(spark, out).count() == N_DOCS
+
+
+def test_ref_explode_prunes_span_text_from_scan(spark, tmp_path):
+    """Plan audit (the r2-named 100x mitigation): the ref-only explode
+    must push a kind+media_ref-only ReadSchema into the parquet scan —
+    span.text never leaves storage for pdf/image/docx/ocr branches.
+    Guards against a regression to the transform()-lambda form, which
+    does NOT prune (verified on Spark 4.1)."""
+    import re
+
+    from pydoxtools_spark.pipeline import explode_input_refs, extract
+    from pydoxtools_spark.schemas import DOCUMENTS_IN
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [{"doc_id": "a", "spans": [
+            {"kind": "pdf_ref", "text": "payload", "media_ref": "m://1",
+             "offset": 0}]}],
+        schema=DOCUMENTS_IN).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = explode_input_refs(docs)._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all("text" not in s for s in schemas), schemas
+    # and the full extract() plan contains BOTH scans: the pruned one
+    # for ref branches and the full one for payload branches
+    eplan = extract(spark, docs, None, parallelism=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    eschemas = re.findall(r"ReadSchema: (\S+)", eplan)
+    assert any("text" not in s for s in eschemas), eschemas
