@@ -1003,6 +1003,30 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("logprob", 4).alias("logprob"))
 
 
+_QF_DIGITS = " ".join(str(i) for i in range(30))
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop curation decision (FineWeb/Gopher recipe
+    shape): planted failure modes — every 7th doc too short, the next
+    all-digits (alpha ratio), the next with duplicated lines — must
+    each produce the right reason trail while clean docs keep."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    payload = (
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("tiny doc "), did))
+        .when(F.col("doc_id") % 7 == 1, F.lit(_QF_DIGITS))
+        .when(F.col("doc_id") % 7 == 2,
+              F.concat(F.col("text"),
+                       F.lit("\nrepeat line\nrepeat line\nrepeat line")))
+        .otherwise(F.col("text"))
+    )
+    out = curation.quality_filter(
+        d.select("doc_id", payload.alias("text")))
+    return out.select("doc_id", "n_words", "ad_ratio", "dup_line_frac",
+                      "reasons", "keep")
+
+
 def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-domain quota sampling: cap each of 7 synthetic
     domains at 20 docs by md5-of-id rank (stable under resharding and
@@ -1599,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "unigram_logprob": q_unigram_logprob,
         "quota_sample": q_quota_sample,
+        "quality_filter": q_quality_filter,
         "scrub_pii": q_scrub_pii,
         "dataset_split": q_dataset_split,
         "duplicated_windows": q_duplicated_windows,
@@ -1809,6 +1834,44 @@ def oracle_sql() -> dict[str, str]:
         "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) + "
         "length(regexp_replace(text, '[^0-9]', '', 'g')) ELSE 1 END"
     )
+    quality_filter_oracle = rf"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN 'tiny doc ' || doc_id
+                  WHEN doc_id % 7 = 1 THEN '{_QF_DIGITS}'
+                  WHEN doc_id % 7 = 2 THEN text || chr(10) || 'repeat line'
+                       || chr(10) || 'repeat line' || chr(10) || 'repeat line'
+                  ELSE text END AS text
+      FROM documents),
+    base AS (
+      SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_words,
+             round({ad_expr}, 4) AS ad_ratio
+      FROM p),
+    lines AS (
+      SELECT doc_id, trim(l) AS line
+      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM p)
+      WHERE trim(l) != ''),
+    lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+    dup AS (SELECT doc_id,
+                   round((sum(cnt) - count(*)) / sum(cnt), 4) AS dlf
+            FROM lc GROUP BY 1),
+    j AS (
+      SELECT b.doc_id, b.n_words, b.ad_ratio,
+             coalesce(dup.dlf, 0.0) AS dup_line_frac
+      FROM base b LEFT JOIN dup ON b.doc_id = dup.doc_id)
+    SELECT doc_id, n_words, ad_ratio, dup_line_frac,
+           concat_ws(',',
+             CASE WHEN n_words < 20 THEN 'too_short' END,
+             CASE WHEN ad_ratio < 0.5 THEN 'low_alpha_ratio' END,
+             CASE WHEN dup_line_frac > 0.3 THEN 'repetitive_lines' END
+           ) AS reasons,
+           concat_ws(',',
+             CASE WHEN n_words < 20 THEN 'too_short' END,
+             CASE WHEN ad_ratio < 0.5 THEN 'low_alpha_ratio' END,
+             CASE WHEN dup_line_frac > 0.3 THEN 'repetitive_lines' END
+           ) = '' AS keep
+    FROM j
+    """
     file_meta_oracle = rf"""
     SELECT doc_id,
            'corpus/shard0/doc_' || doc_id || '.txt' AS path,
@@ -2677,6 +2740,7 @@ def oracle_sql() -> dict[str, str]:
         "drop_duplicated_windows": drop_windows_oracle,
         "unigram_logprob": unigram_logprob_oracle,
         "quota_sample": quota_sample_oracle,
+        "quality_filter": quality_filter_oracle,
         "minhash_signature": minhash_oracle,
         "simhash": simhash_oracle,
         "ngram_jaccard_pairs": ngram_oracle,

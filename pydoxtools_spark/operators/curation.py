@@ -383,3 +383,73 @@ def unigram_logprob(
             - F.col("s") / F.col("n")
         ).alias("logprob"),
     )
+
+
+# ------------------------------------------------- composite keep/drop
+
+
+def quality_filter(
+    df: DataFrame,
+    min_words: int = 20,
+    min_ad_ratio: float = 0.5,
+    max_dup_line_frac: float = 0.3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The curation CAPSTONE: one keep/drop decision per document from
+    the composed quality signals (the FineWeb/Gopher recipe shape —
+    each rule is an already-oracle-checked signal, the filter is their
+    conjunction with an auditable reason trail):
+
+      too_short         fewer than min_words whitespace words
+      low_alpha_ratio   alpha/(alpha+digit) below min_ad_ratio
+      repetitive_lines  duplicate-line mass fraction above
+                        max_dup_line_frac (Gopher dup_line_frac)
+
+    Returns (id, n_words, ad_ratio, dup_line_frac, reasons, keep) —
+    reasons is the comma-joined failed-rule list in fixed order, ''
+    for keepers, so downstream metrics can group by failure mode.
+
+    Scale shape: one projection (words/ratio exprs in codegen) + one
+    per-doc line hash-agg + one doc-keyed join — nothing cross-doc, so
+    the op scales like any per-doc map; at 100 TB the reasons column
+    doubles as the per-rule drop-rate metric source."""
+    from .textstats import a_d_ratio, num_words
+
+    # NULL text counts as empty, not as "no signal": without the
+    # coalesce every rule's WHEN evaluates NULL -> no reason fires and
+    # a null doc silently KEEPS (caught by the unit test)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        num_words(t).alias("n_words"),
+        F.round(a_d_ratio(t), 4).alias("ad_ratio"),
+    )
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(t, "\n")).alias("l"),
+    ).select("id", F.trim("l").alias("line")).filter(F.col("line") != "")
+    dup = (
+        lines.groupBy("id", "line").agg(F.count("*").alias("cnt"))
+        .groupBy("id")
+        .agg(
+            F.round(
+                (F.sum("cnt") - F.count("*")) / F.sum("cnt"), 4
+            ).alias("dup_line_frac")
+        )
+    )
+    j = base.join(dup, "id", "left").withColumn(
+        "dup_line_frac", F.coalesce("dup_line_frac", F.lit(0.0)))
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("n_words") < min_words, "too_short"),
+        F.when(F.col("ad_ratio") < min_ad_ratio, "low_alpha_ratio"),
+        F.when(F.col("dup_line_frac") > max_dup_line_frac,
+               "repetitive_lines"),
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        "n_words", "ad_ratio", "dup_line_frac",
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )

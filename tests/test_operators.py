@@ -979,3 +979,27 @@ def test_render_pdf_pages_box_raster(spark):
         F.lit(None).cast("map<string,string>").alias("meta"))).collect()
     assert all(f["decode_error"] is None for f in feats)
     assert all((f["width"], f["height"]) == (153, 198) for f in feats)
+
+
+def test_quality_filter_reason_trail(spark):
+    """Composite keep/drop: each rule fires alone and in combination;
+    empty/NULL docs are too_short keeps-false, clean prose keeps."""
+    from pydoxtools_spark.operators import curation
+
+    prose = "the quick brown fox jumps over the lazy dog " * 3  # 27 words
+    rows = [
+        (1, prose + "and some extra words to pass twenty"),
+        (2, "short text"),
+        (3, " ".join(str(i) for i in range(25))),
+        (4, prose + "pad words here\nsame line\nsame line\nsame line"),
+        (5, "1 2 3"),                      # short AND digits
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in curation.quality_filter(df).collect()}
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert out[2]["reasons"] == "too_short" and not out[2]["keep"]
+    assert out[3]["reasons"] == "low_alpha_ratio"
+    assert out[4]["reasons"] == "repetitive_lines"
+    assert out[5]["reasons"] == "too_short,low_alpha_ratio"
+    assert out[6]["reasons"].startswith("too_short") and not out[6]["keep"]
