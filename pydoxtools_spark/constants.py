@@ -151,10 +151,24 @@ LANGID_STOPWORDS = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
     "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que"],
     "es": ["el", "la", "los", "y", "es", "no", "por", "que"],
+    # ASCII-only stopwords by design: RE2's \b is an ASCII word
+    # boundary, so accented/non-latin stopwords would tokenize
+    # differently between Spark (Java regex) and the DuckDB twin
+    "it": ["il", "di", "che", "per", "con", "non", "una", "sono"],
+    "pt": ["uma", "para", "com", "mais", "como", "dos", "mas", "ele"],
+    "nl": ["het", "een", "van", "dat", "niet", "zijn", "ook", "naar"],
 }
-# zh is scored by CJK-ideograph character count (no stopword tokens);
-# literal range chars so Java regex and RE2 parse it identically.
-CJK_CHAR_CLASS = "[一-鿿]"
+# Script-scored languages: character-class counts instead of stopwords
+# (no word boundaries involved -> engine-identical); literal range
+# chars so Java regex and RE2 parse them identically.  ja counts kana
+# only, so kanji-bearing Japanese text still beats zh when kana present.
+LANGID_CHAR_CLASSES = {
+    "zh": "[一-鿿]",
+    "ja": "[ぁ-ゖァ-ヺ]",
+    "ko": "[가-힣]",
+    "ar": "[ء-ي]",
+}
+CJK_CHAR_CLASS = LANGID_CHAR_CLASSES["zh"]
 
 # ------------------------------------------------------------------- dedup
 MINHASH_NUM_PERM = 64

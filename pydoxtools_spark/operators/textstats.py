@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..constants import CJK_CHAR_CLASS, LANGID_STOPWORDS, TOKEN_REGEX
+from ..constants import (  # noqa: F401 (CJK kept for compat)
+    CJK_CHAR_CLASS,
+    LANGID_CHAR_CLASSES,
+    LANGID_STOPWORDS,
+    TOKEN_REGEX,
+)
 
 # ------------------------------------------------------------- counting
 
@@ -113,12 +118,13 @@ def lang_id(col: Column) -> Column:
                 F.lit(lang).alias("lang"),
             )
         )
-    scores.append(
-        F.struct(
-            F.size(F.regexp_extract_all(col, F.lit(CJK_CHAR_CLASS), 0)).alias("hits"),
-            F.lit("zh").alias("lang"),
+    for lang, cls in LANGID_CHAR_CLASSES.items():
+        scores.append(
+            F.struct(
+                F.size(F.regexp_extract_all(col, F.lit(cls), 0)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
         )
-    )
     best = F.array_max(F.array(*scores))
     return F.when(best["hits"] > 0, best["lang"]).otherwise("unknown")
 
@@ -132,7 +138,8 @@ def lang_id_sql(expr: str) -> str:
         lang: f"len(regexp_extract_all(lower({expr}), '\\b({'|'.join(ws)})\\b'))"
         for lang, ws in LANGID_STOPWORDS.items()
     }
-    hits["zh"] = f"len(regexp_extract_all({expr}, '{CJK_CHAR_CLASS}'))"
+    for lang, cls in LANGID_CHAR_CLASSES.items():
+        hits[lang] = f"len(regexp_extract_all({expr}, '{cls}'))"
     # array_max picks max by (hits, lang): build CASE ladder ordering langs
     # descending so the max-hits / max-lang pair wins
     langs = sorted(hits, reverse=True)

@@ -1003,3 +1003,38 @@ def test_quality_filter_reason_trail(spark):
     assert out[4]["reasons"] == "repetitive_lines"
     assert out[5]["reasons"] == "too_short,low_alpha_ratio"
     assert out[6]["reasons"].startswith("too_short") and not out[6]["keep"]
+
+
+def test_lang_id_eleven_languages_spark_duckdb_agree(spark):
+    """lang_id covers 7 stopword languages + 4 script-scored ones
+    (r4): Spark and the DuckDB twin must label every sample
+    identically — incl. Japanese-with-kanji beating zh via kana, and
+    the unknown fallback."""
+    import duckdb
+
+    from pydoxtools_spark.operators.textstats import lang_id, lang_id_sql
+
+    samples = [
+        ("en", "the cat sat with the dog and that is fine"),
+        ("de", "der hund ist nicht mit der katze und das ist gut"),
+        ("fr", "le chat est pour les chiens et pas que pour eux"),
+        ("es", "el perro y los gatos no es por que si"),
+        ("it", "il cane che corre per la strada non sono una cosa"),
+        ("pt", "uma casa para todos com mais gente como dos outros"),
+        ("nl", "het huis een van dat niet zijn ook naar hier"),
+        ("zh", "这是一个中文句子用于测试语言识别"),
+        ("ja", "これは日本語のテストです、漢字も含まれます"),
+        ("ko", "이것은 한국어 테스트 문장입니다"),
+        ("ar", "هذه جملة اختبار باللغة العربية"),
+        ("unknown", "xyzzy qwerty 12345"),
+    ]
+    df = spark.createDataFrame(samples, "want string, txt string")
+    got = {r["want"]: r["got"] for r in df.select(
+        "want", lang_id(F.col("txt")).alias("got")).collect()}
+    assert got == {w: w for w, _t in samples}, got
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (want VARCHAR, txt VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", samples)
+    duck = dict(con.execute(
+        f"SELECT want, {lang_id_sql('txt')} FROM t").fetchall())
+    assert duck == got
