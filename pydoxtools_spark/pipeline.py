@@ -742,6 +742,7 @@ def run_resumable(
     run_id: str | None = None,
     parallelism: int = 32,
     max_pages: int | None = None,
+    **extract_kwargs,
 ) -> dict:
     """Resumable batch run: anti-join already-committed doc_ids (the
     parquet/Iceberg output snapshot IS the checkpoint — SURVEY.md §2.10),
@@ -763,6 +764,11 @@ def run_resumable(
     run's anti-join IGNORES (its docs are re-extracted rather than
     silently lost).  With Iceberg this would be `MERGE INTO` + the
     snapshot log.
+
+    **extract_kwargs forward to extract(): pdf_blobs / doc_blobs
+    (docx/odt/epub/rtf containers) / media_blobs + ocr_model /
+    table_mode / persist_spans — resumability covers every branch, not
+    just the text/html/pdf core.
     """
     from pyspark.sql import Observation
 
@@ -793,7 +799,8 @@ def run_resumable(
     t0 = time.monotonic()
     obs = Observation(f"extract_{run_id}")
     extracted = (
-        extract(spark, todo, pdf_elements, parallelism, max_pages=max_pages)
+        extract(spark, todo, pdf_elements, parallelism, max_pages=max_pages,
+                **extract_kwargs)
         .withColumn("partition_id", F.spark_partition_id())
         .observe(
             obs,

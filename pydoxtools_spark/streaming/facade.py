@@ -25,6 +25,7 @@ def incremental_extract(
     checkpoint_dir: str,
     parallelism: int = 32,
     available_now: bool = True,
+    **extract_kwargs,
 ):
     """Incrementally extract newly-arrived documents_in parquet files.
 
@@ -41,7 +42,7 @@ def incremental_extract(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = extract(batch_df.sparkSession, batch_df, pdf_elements,
-                      parallelism=parallelism)
+                      parallelism=parallelism, **extract_kwargs)
         out.write.mode("append").parquet(f"{out_dir}/extracted")
 
     writer = (

@@ -330,3 +330,33 @@ def test_cross_format_block_mapping_property():
                 == extract_docx_spans(build_tiny_docx(plain))), seed
 
     check()
+
+
+def test_run_resumable_with_container_blobs(spark, tmp_path):
+    """Resumability covers the container branch: a docx corpus runs
+    through run_resumable(doc_blobs=...), resumes to a no-op, and the
+    committed view carries the container spans."""
+    from pydoxtools_spark.pipeline import read_extracted, run_resumable
+    from pydoxtools_spark.schemas import DOCUMENTS_IN
+
+    docs = spark.createDataFrame(
+        [{"doc_id": f"d{i}", "spans": [
+            {"kind": "docx_bytes", "text": None,
+             "media_ref": f"b://{i}", "offset": 0}]}
+         for i in range(6)],
+        schema=DOCUMENTS_IN)
+    blobs = spark.createDataFrame(
+        [(f"b://{i}", bytearray(build_tiny_docx(
+            [("header", f"Doc {i}", 1), ("text", f"body {i}")])))
+         for i in range(6)],
+        "ref string, content binary")
+    out = str(tmp_path / "docx_out")
+    r1 = run_resumable(spark, docs, None, out, parallelism=2,
+                       doc_blobs=blobs)
+    assert r1["docs_processed"] == 6
+    r2 = run_resumable(spark, docs, None, out, parallelism=2,
+                       doc_blobs=blobs)
+    assert r2["docs_processed"] == 0
+    rows = {r["doc_id"]: [s["text"] for s in r["spans"]]
+            for r in read_extracted(spark, out).collect()}
+    assert rows["d3"] == ["Doc 3", "body 3"]
