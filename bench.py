@@ -36,7 +36,8 @@ HEADLINE = [
     "markdown_spans",         # markdown branch (dispatch-routed kernel, r3)
     "docx_spans",             # OOXML branch: zip+XML kernel e2e (r4)
     "pdf_bytes",              # raw-bytes parse + repair ladder + layout (r2)
-                              #   (Flate-compressed + TJ dialect since r4)
+                              #   (Flate+TJ + rotating PDF 1.5 since r4)
+    "pdf_render",             # box-level page rasterization (r4)
     "pdf_table_chars",        # bytes -> chars -> sweep-line -> frozen tree (r3)
     "doc_type_dispatch",
     "exact_dedup",
@@ -46,6 +47,7 @@ HEADLINE = [
     "duplicated_windows",     # cross-doc substring dedup (r3)
     "unigram_logprob",        # CCNet-style LM quality score (r3)
     "repetition_signals",     # Gopher repetition fractions (r3)
+    "quality_filter",         # composite keep/drop + reason trail (r4)
     "ann_topk",
     "knn_graph_lsh",          # bucketed KNN graph, no broadcast (r2)
     "textrank_summary",       # sentence graph -> pagerank chain (r3)
