@@ -217,3 +217,57 @@ def test_tstar_quote_and_leading_operators():
              if r["type"] == "Text"]
     assert [(r["rawtext"], r["y0"]) for r in rows2] == [
         ("a", 700.0), ("b", 688.0), ("c", 676.0)]
+
+
+def test_dialect_property_random_pages():
+    """Property: ANY page layout parses to identical elements through
+    all four writer dialects (classic, Flate, Flate+TJ, PDF 1.5) and
+    survives trailer-stripping repair on the single-stream dialects —
+    randomized over text content (incl. parens/backslashes needing
+    string escapes), positions, sizes, rects and multi-page layouts."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pydoxtools_spark.functions.pdfparse import build_pdf_v15
+
+    words = ["alpha", "be(ta)", "ga\\mma", "del)ta", "x y", "1.5", "()"]
+
+    def gen_pages(rng):
+        pages = []
+        for _ in range(rng.randint(1, 3)):
+            page = {"texts": [], "rects": [], "lines": []}
+            for _ in range(rng.randint(1, 5)):
+                page["texts"].append(
+                    (round(rng.uniform(0, 500), 2),
+                     round(rng.uniform(0, 750), 2),
+                     float(rng.choice([8, 10, 12, 18])),
+                     " ".join(rng.choices(words, k=rng.randint(1, 6)))))
+            for _ in range(rng.randint(0, 2)):
+                x, y = rng.uniform(0, 400), rng.uniform(0, 600)
+                page["rects"].append(
+                    (round(x, 2), round(y, 2),
+                     round(rng.uniform(5, 100), 2),
+                     round(rng.uniform(5, 100), 2)))
+            pages.append(page)
+        return pages
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**6))
+    def check(seed):
+        rng = random.Random(seed)
+        pages = gen_pages(rng)
+        base = pdf_elements_from_bytes(build_tiny_pdf(pages), "d")
+        for data in (
+            build_tiny_pdf(pages, compress=True),
+            build_tiny_pdf(pages, use_tj=True),
+            build_tiny_pdf(pages, compress=True, use_tj=True),
+            build_pdf_v15(pages),
+        ):
+            assert pdf_elements_from_bytes(data, "d") == base, seed
+        dmg = build_tiny_pdf(pages, compress=True, use_tj=True)
+        dmg = dmg[: dmg.rfind(b"startxref")]
+        assert pdf_elements_from_bytes(dmg, "d") == base, seed
+
+    check()
