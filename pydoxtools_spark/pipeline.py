@@ -853,3 +853,93 @@ def run_resumable(
             "parse_failures": int(stats["parse_failures"] or 0),
             "span_count": int(stats["span_count"] or 0),
             "elapsed_ms": elapsed_ms, "output": spans_path}
+
+
+# ----------------------------------------------------------- ingestion
+
+
+def ingest_blobs(spark: SparkSession, blobs: DataFrame,
+                 ref_col: str = "ref",
+                 content_col: str = "content") -> dict:
+    """Raw (ref, content) blobs -> routed extract() inputs — the
+    reference's Document(source=...) experience (document.py:66-113:
+    magic/type detection chooses the pipeline) over a distributed blob
+    table:
+
+      pdf            -> pdf_bytes span + pdf_blobs side row
+      docx/odt/epub/rtf -> container span + doc_blobs side row
+      anything else  -> decoded via the force_decode ladder; html
+                        payloads route to the html branch, the rest to
+                        the text branch (dispatch.doc_type_col)
+
+    Returns {"documents_in", "pdf_blobs", "doc_blobs"} ready for
+    extract(**).  The format probe is one Arrow-batched pass emitting
+    (ref, in_kind) — zip central directories need Python — and
+    everything else stays JVM-side."""
+    from .dispatch import TYPE_HTML, doc_type_col
+
+    def probe(batches):
+        from .dispatch import blob_in_kind
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"ref": pdf[ref_col],
+                 "in_kind": [
+                     blob_in_kind(bytes(c) if c is not None else b"")
+                     for c in pdf[content_col]]})
+
+    b = blobs.select(F.col(ref_col).alias("ref"),
+                     F.col(content_col).alias("content"))
+    kinds = b.mapInPandas(probe, "ref string, in_kind string")
+    routed = b.join(kinds, "ref")
+
+    binary_kinds = (IN_KIND_PDF_BYTES,) + _CONTAINER_IN_KINDS
+    textual = routed.filter(~F.col("in_kind").isin(*binary_kinds))
+    from .sources.loaders import decode_text_col
+
+    text_payload = decode_text_col(F.col("content"))
+    textual_docs = textual.select(
+        F.col("ref").alias("doc_id"),
+        F.array(F.struct(
+            F.when(doc_type_col(text_payload) == TYPE_HTML,
+                   IN_KIND_HTML).otherwise(IN_KIND_TEXT).alias("kind"),
+            text_payload.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )).alias("spans"),
+    )
+    binary_docs = routed.filter(F.col("in_kind").isin(*binary_kinds)).select(
+        F.col("ref").alias("doc_id"),
+        F.array(F.struct(
+            F.col("in_kind").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.col("ref").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )).alias("spans"),
+    )
+    return {
+        "documents_in": textual_docs.unionByName(binary_docs),
+        "pdf_blobs": routed.filter(
+            F.col("in_kind") == IN_KIND_PDF_BYTES).select("ref", "content"),
+        "doc_blobs": routed.filter(
+            F.col("in_kind").isin(*_CONTAINER_IN_KINDS)).select(
+                "ref", "content"),
+    }
+
+
+def extract_files(spark: SparkSession, directory: str,
+                  wildcard: str = "*", parallelism: int = 32,
+                  **extract_kwargs) -> DataFrame:
+    """One call from a directory of mixed files to extracted spans:
+    binaryFile scan -> format probe -> routed extract().  The doc_id
+    is the file path (stable, unique).  The user-facing equivalent of
+    iterating Document(path) over a folder, distributed."""
+    from .sources.loaders import load_directory
+
+    blobs = load_directory(spark, directory, wildcard=wildcard).select(
+        F.col("path").alias("ref"), "content")
+    parts = ingest_blobs(spark, blobs)
+    return extract(
+        spark, parts["documents_in"], None, parallelism,
+        pdf_blobs=parts["pdf_blobs"], doc_blobs=parts["doc_blobs"],
+        **extract_kwargs)

@@ -360,3 +360,36 @@ def test_run_resumable_with_container_blobs(spark, tmp_path):
     rows = {r["doc_id"]: [s["text"] for s in r["spans"]]
             for r in read_extracted(spark, out).collect()}
     assert rows["d3"] == ["Doc 3", "body 3"]
+
+
+def test_extract_files_mixed_directory(spark, tmp_path):
+    """One-call directory ingestion (the reference's Document(source)
+    experience): mixed pdf/docx/rtf/html/txt files probe to the right
+    branches and come back as spans keyed by path."""
+    from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+    from pydoxtools_spark.functions.rtf import build_tiny_rtf
+    from pydoxtools_spark.pipeline import extract_files
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.pdf").write_bytes(build_tiny_pdf(
+        [{"texts": [(72.0, 700.0, 12.0, "pdf text here")]}], compress=True))
+    (d / "b.docx").write_bytes(build_tiny_docx(
+        [("header", "DocB", 1), ("text", "docx body")]))
+    (d / "c.rtf").write_bytes(build_tiny_rtf([("text", "rtf body")]))
+    (d / "d.html").write_text(
+        "<html><body><h1>H</h1><p>html body</p></body></html>")
+    (d / "e.txt").write_text("plain paragraph one\n\nplain paragraph two")
+
+    rows = {r["doc_id"].rsplit("/", 1)[-1]: r
+            for r in extract_files(spark, str(d), parallelism=2).collect()}
+    assert set(rows) == {"a.pdf", "b.docx", "c.rtf", "d.html", "e.txt"}
+    assert [s["text"] for s in rows["a.pdf"]["spans"]] == ["pdf text here"]
+    assert [(s["kind"], s["text"]) for s in rows["b.docx"]["spans"]] == [
+        ("header", "DocB"), ("text", "docx body")]
+    assert [s["text"] for s in rows["c.rtf"]["spans"]] == ["rtf body"]
+    assert [(s["kind"], s["text"]) for s in rows["d.html"]["spans"]] == [
+        ("header", "H"), ("text", "html body")]
+    assert [s["text"] for s in rows["e.txt"]["spans"]] == [
+        "plain paragraph one", "plain paragraph two"]
+    assert all(r["error"] is None for r in rows.values())
