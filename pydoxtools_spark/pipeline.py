@@ -873,25 +873,50 @@ def ingest_blobs(spark: SparkSession, blobs: DataFrame,
                         the text branch (dispatch.doc_type_col)
 
     Returns {"documents_in", "pdf_blobs", "doc_blobs"} ready for
-    extract(**).  The format probe is one Arrow-batched pass emitting
-    (ref, in_kind) — zip central directories need Python — and
-    everything else stays JVM-side."""
+    extract(**).  Scale shape: magic-prefix dispatch (%PDF-, {\\rtf,
+    PK zip) is a pure-JVM byte comparison on the scan — no shuffle, no
+    Python; ONLY PK-prefixed blobs (the minority needing a central-
+    directory read to tell docx/odt/epub/plain-zip apart) go through
+    the Arrow probe kernel, and only their (ref, kind) pairs join
+    back, so the corpus-sized binary column never re-shuffles."""
     from .dispatch import TYPE_HTML, doc_type_col
 
-    def probe(batches):
+    b = blobs.select(F.col(ref_col).alias("ref"),
+                     F.col(content_col).alias("content"))
+    jvm_kind = (
+        F.when(F.expr("startswith(content, X'255044462D')"),  # %PDF-
+               IN_KIND_PDF_BYTES)
+        .when(F.expr("startswith(content, X'7B5C727466')"),   # {\rtf
+               IN_KIND_RTF_BYTES)
+        .when(F.expr("startswith(content, X'504B0304')"),     # PK zip
+               F.lit("_zip"))
+        .otherwise("_text")
+    )
+    b = b.withColumn("in_kind", jvm_kind)
+
+    def probe_zip(batches):
         from .dispatch import blob_in_kind
 
         for pdf in batches:
             yield pd.DataFrame(
-                {"ref": pdf[ref_col],
-                 "in_kind": [
+                {"ref": pdf["ref"],
+                 "zip_kind": [
                      blob_in_kind(bytes(c) if c is not None else b"")
-                     for c in pdf[content_col]]})
+                     for c in pdf["content"]]})
 
-    b = blobs.select(F.col(ref_col).alias("ref"),
-                     F.col(content_col).alias("content"))
-    kinds = b.mapInPandas(probe, "ref string, in_kind string")
-    routed = b.join(kinds, "ref")
+    zips = b.filter(F.col("in_kind") == "_zip")
+    zip_kinds = zips.mapInPandas(probe_zip, "ref string, zip_kind string")
+    routed = b.filter(F.col("in_kind") != "_zip").unionByName(
+        # only the zip SUBSET joins its probe results — the rest of the
+        # corpus-sized binary column never enters a shuffle
+        zips.join(zip_kinds, "ref").select(
+            "ref", "content",
+            # a PK zip that probes to no known container stays a
+            # decodable payload (-> the text ladder)
+            F.when(F.col("zip_kind") == "binary", "_text")
+            .otherwise(F.col("zip_kind")).alias("in_kind"),
+        )
+    )
 
     binary_kinds = (IN_KIND_PDF_BYTES,) + _CONTAINER_IN_KINDS
     textual = routed.filter(~F.col("in_kind").isin(*binary_kinds))
