@@ -33,6 +33,8 @@ def main() -> None:
                     help="ingest a raw file directory instead of --input "
                          "(format-probed per blob; doc_id = path)")
     args = ap.parse_args()
+    if bool(args.input) == bool(args.input_dir):
+        ap.error("exactly one of --input / --input-dir is required")
 
     from pyspark.sql import SparkSession
 

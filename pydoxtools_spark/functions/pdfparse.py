@@ -135,6 +135,7 @@ def build_tiny_pdf(
     widths: str | None = None,
     producer: str | None = None,
     creator: str | None = None,
+    length_indirect: bool = False,
 ) -> bytes:
     """pages: [{"texts": [(x, y, size, text)], "rects": [(x, y, w, h)],
     "lines": [(x0, y0, x1, y1)]}] -> PDF bytes.  One content stream per
@@ -149,6 +150,9 @@ def build_tiny_pdf(
       widths     'afm' embeds the standard-14 AFM /Widths array for
                  `font` (switches the reader to AFM-exact advances)
       producer/creator  written to the trailer /Info dictionary
+      length_indirect   stream /Length entries are indirect references
+                 to trailing integer objects (the linearized-writer
+                 shape that forced the _LENGTH_REF_RE resolver)
     """
     objs: list[bytes] = []  # 1-indexed object bodies
 
@@ -159,6 +163,7 @@ def build_tiny_pdf(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     font_obj = 3 + 2 * n_pages
+    stream_lengths: list[int] = []
     for i, page in enumerate(pages):
         content = bytearray(_render_page_content(page, use_tj))
         filt = b""
@@ -170,10 +175,19 @@ def build_tiny_pdf(
             f"{PAGE_H:g}] /Contents {4 + 2 * i} 0 R /Resources "
             f"<< /Font << /F1 {font_obj} 0 R >> >> >>".encode()
         )
-        objs.append(
-            b"<< /Length %d%s >>\nstream\n%s\nendstream"
-            % (len(content), filt, content)
-        )
+        if length_indirect:
+            stream_lengths.append(len(content))
+            # length value objects trail the font object
+            length_obj = font_obj + 1 + i
+            objs.append(
+                b"<< /Length %d 0 R%s >>\nstream\n%s\nendstream"
+                % (length_obj, filt, content)
+            )
+        else:
+            objs.append(
+                b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                % (len(content), filt, content)
+            )
     font_dict = f"<< /Type /Font /Subtype /Type1 /BaseFont /{font}"
     if widths == "afm":
         table = (HELVETICA_WIDTHS if font.startswith("Helvetica")
@@ -186,6 +200,8 @@ def build_tiny_pdf(
             ws = " ".join(["600"] * 95)
             font_dict += f" /FirstChar 32 /LastChar 126 /Widths [{ws}]"
     objs.append((font_dict + " >>").encode())
+    for n in stream_lengths:
+        objs.append(b"%d" % n)
     info_obj = None
     if producer is not None or creator is not None:
         body = b"<<"
@@ -235,7 +251,24 @@ _INFOSTR_RE = {
 }
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# direct /Length only: '/Length 8 0 R' is an INDIRECT reference whose
+# value lives in object 8 — capturing the 8 as a byte count silently
+# truncates the payload (r4 advisor finding).  The lookahead rejects
+# the 'N 0 R' shape; _LENGTH_REF_RE resolves it instead.
+# the (?!\d) leg stops backtracking from shaving digits off the
+# number to satisfy the reference-rejecting leg ('/Length 10 0 R'
+# must not match as n=1)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d|\s+\d+\s+R)")
+_LENGTH_REF_RE = re.compile(rb"/Length\s+(\d+)\s+(\d+)\s+R")
+
+
+def _resolve_length_ref(data: bytes, num: int, gen: int) -> int | None:
+    """Resolve an indirect /Length N G R to the integer held by object
+    N (ISO 32000 §7.3.10 — real linearized writers emit stream lengths
+    as forward references).  Returns None when the object is missing
+    or non-numeric (caller falls back to the endstream delimiter)."""
+    m = re.search(rb"(?<![\d])%d\s+%d\s+obj\b\s*(\d+)" % (num, gen), data)
+    return int(m.group(1)) if m else None
 
 
 def _inflate(payload: bytes) -> bytes:
@@ -266,8 +299,13 @@ def _stream_payload_at(data: bytes, body_start: int) -> tuple[bytes, bytes]:
     elif data[p:p + 1] == b"\n":
         p += 1
     lm = _LENGTH_RE.search(head)
-    if lm:
-        n = int(lm.group(1))
+    n = int(lm.group(1)) if lm else None
+    if n is None:
+        rm = _LENGTH_REF_RE.search(head)
+        if rm:
+            n = _resolve_length_ref(data, int(rm.group(1)),
+                                    int(rm.group(2)))
+    if n is not None:
         if len(data) < p + n:
             raise PdfParseError("/Length past end of file")
         return head, data[p:p + n]
@@ -463,9 +501,16 @@ def parse_pdf_info(data: bytes) -> dict:
     + pdfminer doc.info): n_pages from the /Pages /Count (falling back
     to recovered stream count on the repair rung), producer/creator
     from the trailer /Info dictionary when present."""
-    objs: dict[int, bytes] = {
-        int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
-    }
+    objs: dict[int, bytes] = {}
+    objstart: dict[int, int] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+        objstart[int(m.group(1))] = m.start(2)
+    # PDF 1.5 packs the /Pages dict inside a compressed /ObjStm — the
+    # flat scan alone would miss it and the stream-count fallback would
+    # count content halves + ObjStm + XRef streams (a 3-page v1.5 doc
+    # reported n_pages=8, r4 advisor finding)
+    _expand_object_streams(data, objs, objstart)
     n_pages = None
     pages_obj = next(
         (b for b in objs.values()
@@ -479,7 +524,15 @@ def parse_pdf_info(data: bytes) -> dict:
             if km:
                 n_pages = len(_REF_RE.findall(km.group(1)))
     if n_pages is None:
-        n_pages = len(_STREAM_RE.findall(data))
+        # repair-rung fallback: count CONTENT streams only — structural
+        # streams (ObjStm/XRef) are not pages
+        n_pages = sum(
+            1 for b in objs.values()
+            if b"stream" in b
+            and b"/ObjStm" not in b.split(b"stream", 1)[0]
+            and b"/XRef" not in b.split(b"stream", 1)[0])
+        if n_pages == 0:
+            n_pages = len(_STREAM_RE.findall(data))
     producer = creator = None
     im = _INFO_RE.search(data)
     if im:

@@ -265,7 +265,8 @@ PDF_RENDER = StructType(
 
 def render_pdf_pages(blobs: DataFrame, scale: float = 0.25,
                      id_col: str = "doc_id",
-                     content_col: str = "content") -> DataFrame:
+                     content_col: str = "content",
+                     max_pages: int | None = None) -> DataFrame:
     """PDF page rasterization (reference PDFImageRenderer,
     pdf_utils.py:151-161 renders pages to PIL images for OCR/preview):
     a deterministic BOX-LEVEL rasterizer — each parsed element's bbox
@@ -279,7 +280,11 @@ def render_pdf_pages(blobs: DataFrame, scale: float = 0.25,
     Pixel convention: x0/y0 floor, x1/y1 ceil after scaling, clipped to
     the page — integer-exact for fixture geometry, so oracles can
     compute n_dark analytically.  One output row per (doc, page);
-    parse failure is an error row, never task death."""
+    parse failure is an error row, never task death.
+
+    max_pages caps rasters PER DOCUMENT (mirrors extract()'s
+    max_pages): a single 10k-page PDF would otherwise pin one task
+    with gigabytes of raster output — giant-doc skew at 100x."""
 
     def kernel(batches):
         import numpy as np
@@ -309,7 +314,10 @@ def render_pdf_pages(blobs: DataFrame, scale: float = 0.25,
                 for r in els:
                     if r["type"] in ("Text", "Graphic"):
                         pages.setdefault(r["p_num"], []).append(r)
-                for p_num in sorted(pages):
+                page_nums = sorted(pages)
+                if max_pages is not None:
+                    page_nums = page_nums[:max_pages]
+                for p_num in page_nums:
                     px = np.full((h_px, w_px, 3), 255, dtype=np.uint8)
                     for r in pages[p_num]:
                         x0 = max(0, int(np.floor(r["x0"] * scale)))

@@ -883,6 +883,23 @@ def ingest_blobs(spark: SparkSession, blobs: DataFrame,
 
     b = blobs.select(F.col(ref_col).alias("ref"),
                      F.col(content_col).alias("content"))
+    # media/binary magics the engine has no extractor for: routed to
+    # the 'binary' in_kind so _unknown_kind_branch emits an AUDITABLE
+    # error span — the force_decode ladder never fails (ISO-8859-1
+    # fallback), so without this probe a JPEG becomes silent mojibake
+    # text (r4 advisor finding).  The null-byte leg catches arbitrary
+    # binary payloads: no text encoding this engine decodes emits NUL.
+    _media_magic = (
+        F.expr("startswith(content, X'89504E47')")        # PNG
+        | F.expr("startswith(content, X'FFD8FF')")        # JPEG
+        | F.expr("startswith(content, X'47494638')")      # GIF8
+        | F.expr("startswith(content, X'424D')")          # BMP
+        | F.expr("startswith(content, X'52494646')")      # RIFF (wav/avi)
+        | F.expr("startswith(content, X'1F8B')")          # gzip
+        | F.expr("startswith(content, X'7F454C46')")      # ELF
+        | (~F.is_valid_utf8(F.col("content").cast("string"))
+           & F.expr("contains(content, X'00')"))
+    )
     jvm_kind = (
         F.when(F.expr("startswith(content, X'255044462D')"),  # %PDF-
                IN_KIND_PDF_BYTES)
@@ -890,6 +907,7 @@ def ingest_blobs(spark: SparkSession, blobs: DataFrame,
                IN_KIND_RTF_BYTES)
         .when(F.expr("startswith(content, X'504B0304')"),     # PK zip
                F.lit("_zip"))
+        .when(_media_magic, F.lit("binary"))
         .otherwise("_text")
     )
     b = b.withColumn("in_kind", jvm_kind)
@@ -911,14 +929,15 @@ def ingest_blobs(spark: SparkSession, blobs: DataFrame,
         # corpus-sized binary column never enters a shuffle
         zips.join(zip_kinds, "ref").select(
             "ref", "content",
-            # a PK zip that probes to no known container stays a
-            # decodable payload (-> the text ladder)
-            F.when(F.col("zip_kind") == "binary", "_text")
-            .otherwise(F.col("zip_kind")).alias("in_kind"),
+            # a PK zip that probes to no known container is a plain
+            # zip archive — binary, not latin-1-decodable text
+            F.col("zip_kind").alias("in_kind"),
         )
     )
 
-    binary_kinds = (IN_KIND_PDF_BYTES,) + _CONTAINER_IN_KINDS
+    # 'binary' is deliberately NOT in _KNOWN_IN_KINDS: those spans
+    # fall through to _unknown_kind_branch's contained error row
+    binary_kinds = (IN_KIND_PDF_BYTES, "binary") + _CONTAINER_IN_KINDS
     textual = routed.filter(~F.col("in_kind").isin(*binary_kinds))
     from .sources.loaders import decode_text_col
 

@@ -393,3 +393,33 @@ def test_extract_files_mixed_directory(spark, tmp_path):
     assert [s["text"] for s in rows["e.txt"]["spans"]] == [
         "plain paragraph one", "plain paragraph two"]
     assert all(r["error"] is None for r in rows.values())
+
+
+def test_extract_files_binary_blobs_become_error_spans(spark, tmp_path):
+    """Unextractable binary payloads (media magics, NUL-bearing bytes,
+    plain zip archives) must yield AUDITABLE error spans, never silent
+    ISO-8859-1 mojibake text (r4 advisor finding) — while latin-1 TEXT
+    (no NULs, not valid utf-8) still rides the force_decode ladder."""
+    import zipfile
+
+    from pydoxtools_spark.pipeline import extract_files
+
+    d = tmp_path / "bincorpus"
+    d.mkdir()
+    (d / "img.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    (d / "photo.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"\x12" * 64)
+    (d / "blob.bin").write_bytes(bytes(range(256)) * 4)  # NULs, not utf8
+    with zipfile.ZipFile(d / "archive.zip", "w") as z:
+        z.writestr("readme.txt", "inner file")  # PK magic, no container
+    (d / "latin.txt").write_bytes("caf\xe9 cr\xe8me".encode("latin-1"))
+
+    rows = {r["doc_id"].rsplit("/", 1)[-1]: r
+            for r in extract_files(spark, str(d), parallelism=2).collect()}
+    assert set(rows) == {"img.png", "photo.jpg", "blob.bin",
+                         "archive.zip", "latin.txt"}
+    for name in ("img.png", "photo.jpg", "blob.bin", "archive.zip"):
+        # error spans surface as the error COLUMN (spans stay empty)
+        assert rows[name]["spans"] == [], name
+        assert "binary" in rows[name]["error"], (name, rows[name]["error"])
+    assert [s["text"] for s in rows["latin.txt"]["spans"]] == [
+        "caf\xe9 cr\xe8me"]

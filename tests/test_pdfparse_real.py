@@ -159,6 +159,33 @@ def test_info_dict_and_page_count():
     assert parse_pdf_info(dmg)["n_pages"] == 3
 
 
+def test_indirect_length_resolved():
+    """'/Length N 0 R' is an indirect reference (linearized-writer
+    shape): the byte count must come from object N, not from capturing
+    N itself — and regex backtracking must not shave digits off a
+    direct '/Length 10 0 R' into n=1 (r4 advisor finding)."""
+    pages = [{"texts": [(72.0, 700.0, 12.0, f"page {i} body")]}
+             for i in range(3)]  # 3 pages => length objs 10..12 (2-digit)
+    base = pdf_elements_from_bytes(build_tiny_pdf(pages), "d")
+    for compress in (False, True):
+        data = build_tiny_pdf(pages, compress=compress,
+                              length_indirect=True)
+        assert b"/Length 10 0 R" in data  # the 2-digit trap shape
+        assert pdf_elements_from_bytes(data, "d") == base
+        assert parse_pdf_info(data)["n_pages"] == 3
+
+
+def test_pdf15_page_count_via_objstm():
+    """parse_pdf_info must expand /ObjStm before looking for /Pages —
+    the v1.5 dialect packs the pages dict inside the object stream, and
+    the stream-count fallback would report content halves + ObjStm +
+    XRef (8 'pages' for a 3-page doc, r4 advisor finding)."""
+    from pydoxtools_spark.functions.pdfparse import build_pdf_v15
+
+    pages = [{"texts": [(72.0, 700.0, 12.0, f"p{i}")]} for i in range(3)]
+    assert parse_pdf_info(build_pdf_v15(pages))["n_pages"] == 3
+
+
 def test_unsupported_filter_contained():
     data = build_tiny_pdf(PAGES, compress=True)
     bad = data.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
@@ -263,6 +290,9 @@ def test_dialect_property_random_pages():
             build_tiny_pdf(pages, compress=True),
             build_tiny_pdf(pages, use_tj=True),
             build_tiny_pdf(pages, compress=True, use_tj=True),
+            build_tiny_pdf(pages, length_indirect=True),
+            build_tiny_pdf(pages, compress=True, use_tj=True,
+                           length_indirect=True),
             build_pdf_v15(pages),
         ):
             assert pdf_elements_from_bytes(data, "d") == base, seed
