@@ -1563,6 +1563,112 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ocr_glyphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glyph-level raster OCR loop (r4 verdict item 3; reference chain
+    document.py:320-355 pdf -> image -> tesseract -> text): per-doc
+    PDFs whose title + body headline render through the decodable
+    block FONT (functions/glyphfont.py) at scale 2.0, then the
+    analytic OCR (ocr_glyph_decode) recovers the TEXT from the BMP
+    pixels alone.  The oracle reconstructs the expected lines from
+    documents.text with the same printable-ASCII/whitespace
+    normalization — span equality proves pixels -> text, not a
+    pass-through."""
+    from pydoxtools_spark.operators.multimodal import (
+        ocr_glyph_decode,
+        render_pdf_pages,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def gen_blobs(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # EXACTLY the oracle's normalization chain: trim,
+                # \s+ collapse, printable-ASCII filter, re-collapse,
+                # trim, first 40 chars, rtrim
+                t = _re.sub(r"\s+", " ", (text or "").strip())
+                t = _re.sub(r"[^ -~]", "", t)
+                t = _re.sub(r" +", " ", t).strip()
+                body = t[:40].rstrip()
+                texts = [(72.0, 760.0, 12.0, f"Doc {doc_id}")]
+                if body:
+                    texts.append((72.0, 736.0, 12.0, body))
+                rows.append((str(doc_id),
+                             build_tiny_pdf([{"texts": texts}],
+                                            compress=True, use_tj=True)))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    blobs = d.repartition(32).mapInPandas(
+        gen_blobs, "doc_id string, content binary")
+    rast = render_pdf_pages(blobs, scale=2.0, glyphs=True,
+                            crop_top_pt=80.0)
+    return ocr_glyph_decode(rast).filter(F.col("error").isNull()).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("p_num").cast("int").alias("p_num"),
+        F.col("line_ord").cast("int").alias("line_ord"),
+        "text",
+    )
+
+
+def q_blob_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-ingestion dispatch under the driver oracle: per doc a
+    deterministic raw blob of a rotating format (pdf / rtf / docx zip /
+    PNG-magic binary / html / plain text) routed by ingest_blobs'
+    magic-prefix + zip-probe + text ladder (reference document.py:66-113
+    magic detection).  Output = the routed span kind per doc; the
+    oracle is the analytically known CASE over doc_id."""
+    from pydoxtools_spark.pipeline import ingest_blobs
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_blobs(batches):
+        import pandas as pd
+
+        from pydoxtools_spark.functions.docx import build_tiny_docx
+        from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+        from pydoxtools_spark.functions.rtf import build_tiny_rtf
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                m = i % 5
+                if m == 0:
+                    data = build_tiny_pdf(
+                        [{"texts": [(72.0, 700.0, 12.0, f"pdf {i}")]}],
+                        compress=True)
+                elif m == 1:
+                    data = build_tiny_rtf([("text", f"rtf body {i}")])
+                elif m == 2:
+                    data = build_tiny_docx(
+                        [("text", f"docx body {i}")])
+                elif m == 3:
+                    data = (b"\x89PNG\r\n\x1a\n"
+                            + i.to_bytes(8, "big") + b"\x00" * 16)
+                elif i % 2 == 0:
+                    data = (f"<html><body><p>doc {i}</p></body>"
+                            "</html>").encode()
+                else:
+                    data = f"plain text payload {i}".encode()
+                rows.append((str(i), data))
+            yield pd.DataFrame(rows, columns=["ref", "content"])
+
+    blobs = d.repartition(32).mapInPandas(
+        gen_blobs, "ref string, content binary")
+    parts = ingest_blobs(spark, blobs)
+    return parts["documents_in"].select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.element_at(F.col("spans"), 1)["kind"].alias("routed_kind"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-contract queries.  ORDER MATTERS: the driver records
     correctness rows for the FIRST ~50 dict entries per round (time/
@@ -1592,6 +1698,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        # new this round (must-record)
+        "ocr_glyphs": q_ocr_glyphs,
+        "blob_routing": q_blob_routing,
         "minhash_fast": q_minhash_fast,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_signature": q_minhash_signature,
@@ -2849,6 +2958,36 @@ def oracle_sql() -> dict[str, str]:
       AND l_shipdate <  TIMESTAMP '1997-01-01'
       AND l_discount >= 0.02 AND l_discount <= 0.06
       AND l_quantity < 24
+    """,
+        # pixels -> text: the oracle reconstructs the expected OCR
+        # output from documents.text with the identical normalization
+        # chain the blob generator uses; the Spark side must recover
+        # it from the rendered BMPs alone
+        "ocr_glyphs": r"""
+    WITH d AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(trim(text), '\s+', ' ', 'g'),
+                 '[^ -~]', '', 'g'),
+               ' +', ' ', 'g')) AS t
+      FROM documents)
+    SELECT doc_id, 0 AS p_num, 0 AS line_ord,
+           'Doc ' || doc_id AS text
+    FROM d
+    UNION ALL
+    SELECT doc_id, 0, 1, rtrim(substr(t, 1, 40))
+    FROM d WHERE length(rtrim(substr(t, 1, 40))) > 0
+    """,
+        "blob_routing": """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN 'pdf_bytes'
+                WHEN doc_id % 5 = 1 THEN 'rtf_bytes'
+                WHEN doc_id % 5 = 2 THEN 'docx_bytes'
+                WHEN doc_id % 5 = 3 THEN 'binary'
+                WHEN doc_id % 2 = 0 THEN 'html'
+                ELSE 'text' END AS routed_kind
+    FROM documents
     """,
     }
 

@@ -266,7 +266,9 @@ PDF_RENDER = StructType(
 def render_pdf_pages(blobs: DataFrame, scale: float = 0.25,
                      id_col: str = "doc_id",
                      content_col: str = "content",
-                     max_pages: int | None = None) -> DataFrame:
+                     max_pages: int | None = None,
+                     glyphs: bool = False,
+                     crop_top_pt: float | None = None) -> DataFrame:
     """PDF page rasterization (reference PDFImageRenderer,
     pdf_utils.py:151-161 renders pages to PIL images for OCR/preview):
     a deterministic BOX-LEVEL rasterizer — each parsed element's bbox
@@ -284,20 +286,22 @@ def render_pdf_pages(blobs: DataFrame, scale: float = 0.25,
 
     max_pages caps rasters PER DOCUMENT (mirrors extract()'s
     max_pages): a single 10k-page PDF would otherwise pin one task
-    with gigabytes of raster output — giant-doc skew at 100x."""
+    with gigabytes of raster output — giant-doc skew at 100x.
+
+    glyphs=True switches to GLYPH-level rendering (r4 verdict item 3):
+    per-character cells of the decodable block font
+    (functions/glyphfont.py) are painted instead of merged text boxes,
+    so an analytic OCR (ocr_glyph_decode) recovers the TEXT from the
+    pixels alone — the reference's pdf -> image -> tesseract chain
+    (document.py:320-355) with the font stack replaced by a
+    deterministic one.  crop_top_pt limits the raster to the page's
+    top band (glyph scale needs >= 2.0 for a readable 12 pt cell; a
+    full page at that scale is ~5.8 MB — crop when only a headline
+    band matters)."""
 
     def kernel(batches):
-        import numpy as np
+        from ..functions.pdfparse import pdf_elements_from_bytes
 
-        from ..functions.media import build_bmp
-        from ..functions.pdfparse import (
-            PAGE_H,
-            PAGE_W,
-            pdf_elements_from_bytes,
-        )
-
-        w_px = int(np.ceil(PAGE_W * scale))
-        h_px = int(np.ceil(PAGE_H * scale))
         cols = [f.name for f in PDF_RENDER.fields]
         for pdf in batches:
             rows = []
@@ -305,39 +309,187 @@ def render_pdf_pages(blobs: DataFrame, scale: float = 0.25,
                 try:
                     els = pdf_elements_from_bytes(
                         bytes(content) if content is not None else b"",
-                        doc_id=str(did))
+                        doc_id=str(did), emit_chars=glyphs)
                 except Exception as e:
                     rows.append((did, None, None, None, None, None,
                                  f"{type(e).__name__}: {e}"))
                     continue
-                pages: dict[int, list] = {}
-                for r in els:
-                    if r["type"] in ("Text", "Graphic"):
-                        pages.setdefault(r["p_num"], []).append(r)
-                page_nums = sorted(pages)
-                if max_pages is not None:
-                    page_nums = page_nums[:max_pages]
-                for p_num in page_nums:
-                    px = np.full((h_px, w_px, 3), 255, dtype=np.uint8)
-                    for r in pages[p_num]:
-                        x0 = max(0, int(np.floor(r["x0"] * scale)))
-                        y0 = max(0, int(np.floor(r["y0"] * scale)))
-                        x1 = min(w_px, int(np.ceil(r["x1"] * scale)))
-                        y1 = min(h_px, int(np.ceil(r["y1"] * scale)))
-                        # degenerate boxes (horizontal/vertical rules)
-                        # still paint a 1px hairline
-                        if x1 <= x0:
-                            x1 = min(w_px, x0 + 1)
-                        if y1 <= y0:
-                            y1 = min(h_px, y0 + 1)
-                        level = 64 if r["type"] == "Text" else 128
-                        # page y is bottom-up; raster row 0 is top
-                        px[h_px - y1:h_px - y0, x0:x1] = level
-                    n_dark = int((px[:, :, 0] != 255).sum())
-                    rows.append((did, int(p_num), w_px, h_px, n_dark,
-                                 build_bmp(px), None))
+                rows.extend(_paint_doc_pages(did, els, scale, max_pages,
+                                             glyphs, crop_top_pt))
             yield pd.DataFrame(rows, columns=cols)
 
     return blobs.select(
         F.col(id_col).cast("string").alias(id_col), content_col
     ).mapInPandas(kernel, PDF_RENDER)
+
+
+def _paint_doc_pages(did, els, scale: float, max_pages: int | None,
+                     glyphs: bool = False,
+                     crop_top_pt: float | None = None):
+    """One document's element rows -> PDF_RENDER row tuples (shared by
+    the from-bytes and elements-in rasterizers).
+
+    Box mode (glyphs=False): text boxes gray 64, graphics 128, white
+    page; x0/y0 floor, x1/y1 ceil, degenerate boxes keep a 1px
+    hairline.
+
+    Glyph mode (glyphs=True): per-Char rows paint the decodable block
+    FONT (functions/glyphfont.py, ink 0) instead of a merged text box —
+    an analytic OCR recovers the text from the pixels alone, closing
+    the reference's pdf -> render -> OCR loop (pdf_utils.py:151-161 +
+    extract_ocr.py:21-52).  Char cell edges use round() (fixture
+    geometry is integral under the 0.5-em dialect); pick scale so
+    font_size*scale is even (the decoder's pitch is height//2).
+
+    crop_top_pt rasterizes only the top band [PAGE_H-crop, PAGE_H] of
+    each page — a 1584-row full page at glyph scale 2.0 is ~5.8 MB of
+    BMP; a 100 pt headline band is ~0.7 MB."""
+    import numpy as np
+
+    from ..functions.glyphfont import paint_glyph
+    from ..functions.media import build_bmp
+    from ..functions.pdfparse import PAGE_H, PAGE_W
+
+    w_px = int(np.ceil(PAGE_W * scale))
+    page_top = PAGE_H
+    h_px = int(np.ceil((crop_top_pt if crop_top_pt is not None else PAGE_H)
+                       * scale))
+    rows = []
+    wanted = ("Char", "Graphic") if glyphs else ("Text", "Graphic")
+    pages: dict[int, list] = {}
+    for r in els:
+        if r["type"] in wanted:
+            pages.setdefault(r["p_num"], []).append(r)
+    page_nums = sorted(pages)
+    if max_pages is not None:
+        page_nums = page_nums[:max_pages]
+    for p_num in page_nums:
+        px = np.full((h_px, w_px, 3), 255, dtype=np.uint8)
+        for r in pages[p_num]:
+            if glyphs and r["type"] == "Char":
+                x0 = int(round(r["x0"] * scale))
+                x1 = int(round(r["x1"] * scale))
+                # top-origin rows; the crop band's top is page top
+                yt = int(round((page_top - r["y1"]) * scale))
+                yb = int(round((page_top - r["y0"]) * scale))
+                if yb <= 0 or yt >= h_px or x1 <= 0 or x0 >= w_px:
+                    continue  # outside the crop band
+                paint_glyph(px, ord(r["rawtext"][0]) if r["rawtext"]
+                            else 0, x0, x1, yt, yb)
+                continue
+            x0 = max(0, int(np.floor(r["x0"] * scale)))
+            x1 = min(w_px, int(np.ceil(r["x1"] * scale)))
+            # top-origin rows (equals the bottom-up slice when
+            # PAGE_H*scale is integral; crop band top = page top)
+            y0r = int(np.floor((page_top - r["y1"]) * scale))
+            y1r = int(np.ceil((page_top - r["y0"]) * scale))
+            if y0r >= h_px or y1r < 0:
+                continue  # wholly outside the crop band
+            y0, y1 = max(0, y0r), min(h_px, y1r)
+            # degenerate boxes (horizontal/vertical rules)
+            # still paint a 1px hairline
+            if x1 <= x0:
+                x1 = min(w_px, x0 + 1)
+            if y1 <= y0:
+                y1 = min(h_px, y0 + 1)
+            level = 64 if r["type"] == "Text" else 128
+            px[y0:y1, x0:x1] = level
+        n_dark = int((px[:, :, 0] != 255).sum())
+        rows.append((did, int(p_num), w_px, h_px, n_dark,
+                     build_bmp(px), None))
+    return rows
+
+
+def render_pdf_pages_from_elements(elements: DataFrame, scale: float = 0.25,
+                                   max_pages: int | None = None,
+                                   id_col: str = "doc_id",
+                                   partitions: int | None = None,
+                                   glyphs: bool = False,
+                                   crop_top_pt: float | None = None
+                                   ) -> DataFrame:
+    """Elements-in rasterizer: identical output to render_pdf_pages but
+    fed ALREADY-PARSED PDF_ELEMENT rows, so a job that needs both spans
+    and rasters runs the expensive bytes->elements parse ONCE (r4
+    verdict: pdf_render re-parsed blobs parse_pdf_blobs had already
+    parsed — at 100x the most expensive kernel ran twice per doc).
+
+    Scale shape: only the narrow (doc_id, p_num, type, x0..y1)
+    projection shuffles (~40 B/element — the rawtext payload and the
+    blob bytes stay out); explicit repartition on the group key feeds
+    groupBy.applyInPandas without a second exchange (AQE would coalesce
+    this byte-light compute-heavy stage).  A type='ParseError' row
+    (parse_pdf_blobs' contained failure) becomes the error row."""
+    cols = ["p_num", "type", "x0", "y0", "x1", "y1"]
+    if glyphs:
+        cols.append("rawtext")  # glyph cells need the char itself
+    proj = elements.select(
+        F.col(id_col).cast("string").alias("doc_id"), *cols)
+    if partitions:
+        proj = proj.repartition(partitions, "doc_id")
+
+    def paint(key, grp):
+        did = key[0]
+        if (grp["type"] == "ParseError").any():
+            err = "pdf parse failed upstream (ParseError element row)"
+            return pd.DataFrame(
+                [(did, None, None, None, None, None, err)],
+                columns=[f.name for f in PDF_RENDER.fields])
+        els = grp.to_dict("records")
+        return pd.DataFrame(
+            _paint_doc_pages(did, els, scale, max_pages, glyphs,
+                             crop_top_pt),
+            columns=[f.name for f in PDF_RENDER.fields])
+
+    return proj.groupBy("doc_id").applyInPandas(paint, PDF_RENDER)
+
+
+OCR_GLYPH = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("p_num", IntegerType(), True),
+        StructField("line_ord", IntegerType(), True),
+        StructField("y_px", IntegerType(), True),
+        StructField("text", StringType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def ocr_glyph_decode(rasters: DataFrame) -> DataFrame:
+    """Analytic OCR over glyph-rendered page rasters (PDF_RENDER rows
+    from render_pdf_pages(glyphs=True)): parse the BMP, find line
+    bands, decode the block-font cells back to text — one row per
+    (doc, page, line) with the band's top pixel row and 0-based line
+    order.  This is the OCRExtractor seat (extract_ocr.py:21-52) for
+    the deterministic font: the same kernel shape a real OCR engine
+    slots into via ocr_extract, but with pixel-exact output an oracle
+    can recompute.  Upstream error rows pass through; undecodable
+    bytes become contained error rows."""
+
+    def kernel(batches):
+        from ..functions.glyphfont import decode_glyph_page
+        from ..functions.media import parse_bmp
+
+        cols = [f.name for f in OCR_GLYPH.fields]
+        for pdf in batches:
+            rows = []
+            for did, p_num, content, err in zip(
+                    pdf["doc_id"], pdf["p_num"], pdf["content"],
+                    pdf["error"]):
+                if err is not None:
+                    rows.append((did, None, None, None, None, err))
+                    continue
+                try:
+                    _w, _h, px = parse_bmp(bytes(content))
+                    for i, (top, text) in enumerate(
+                            decode_glyph_page(px)):
+                        rows.append((did, int(p_num), i, int(top),
+                                     text, None))
+                except Exception as e:
+                    rows.append((did, int(p_num), None, None, None,
+                                 f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return rasters.select(
+        "doc_id", "p_num", "content", "error"
+    ).mapInPandas(kernel, OCR_GLYPH)

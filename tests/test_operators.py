@@ -981,6 +981,44 @@ def test_render_pdf_pages_box_raster(spark):
     assert all((f["width"], f["height"]) == (153, 198) for f in feats)
 
 
+def test_render_from_elements_matches_from_bytes(spark):
+    """Elements-in rasterizer (one parse per blob when a job needs both
+    spans and rasters, r4 verdict item 4): byte-identical BMPs and
+    metadata to the from-bytes path, ParseError rows -> error rows,
+    max_pages cap honored."""
+    from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+    from pydoxtools_spark.operators.multimodal import (
+        render_pdf_pages, render_pdf_pages_from_elements)
+    from pydoxtools_spark.pipeline import parse_pdf_blobs
+
+    pages = [
+        {"texts": [(72.0, 700.0, 18.0, "Doc X")]},
+        {"texts": [(72.0, 650.0, 12.0, "p2")],
+         "lines": [(100.0, 100.0, 200.0, 100.0)]},
+        {"texts": [(72.0, 600.0, 10.0, "p3")]},
+    ]
+    blobs = spark.createDataFrame(
+        [("g", bytearray(build_tiny_pdf(pages, compress=True))),
+         ("bad", bytearray(b"not a pdf"))],
+        "ref string, content binary")
+    els = parse_pdf_blobs(blobs)
+    want = {(r["doc_id"], r["p_num"]):
+            (r["width"], r["height"], r["n_dark"], bytes(r["content"] or b""))
+            for r in render_pdf_pages(
+                blobs.withColumnRenamed("ref", "doc_id"), scale=0.25
+            ).filter("error IS NULL").collect()}
+    got_df = render_pdf_pages_from_elements(els, scale=0.25, partitions=4)
+    got = {(r["doc_id"], r["p_num"]):
+           (r["width"], r["height"], r["n_dark"], bytes(r["content"] or b""))
+           for r in got_df.filter("error IS NULL").collect()}
+    assert got == want and len(want) == 3
+    errs = {r["doc_id"]: r["error"]
+            for r in got_df.filter("error IS NOT NULL").collect()}
+    assert list(errs) == ["bad"] and "ParseError" in errs["bad"]
+    capped = render_pdf_pages_from_elements(els, scale=0.25, max_pages=2)
+    assert capped.filter("error IS NULL").count() == 2
+
+
 def test_quality_filter_reason_trail(spark):
     """Composite keep/drop: each rule fires alone and in combination;
     empty/NULL docs are too_short keeps-false, clean prose keeps."""
@@ -1038,3 +1076,65 @@ def test_lang_id_eleven_languages_spark_duckdb_agree(spark):
     duck = dict(con.execute(
         f"SELECT want, {lang_id_sql('txt')} FROM t").fetchall())
     assert duck == got
+
+
+def test_glyph_raster_ocr_round_trip(spark):
+    """Glyph-level rendering closes the pdf -> pixels -> text loop
+    (r4 verdict item 3): the block-font raster decodes back to the
+    EXACT source text via analytic OCR — from bytes and from shared
+    elements, with crop_top_pt limiting the raster to the headline
+    band, junk blobs contained."""
+    from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+    from pydoxtools_spark.operators.multimodal import (
+        ocr_glyph_decode, render_pdf_pages, render_pdf_pages_from_elements)
+    from pydoxtools_spark.pipeline import parse_pdf_blobs
+
+    lines = ["Doc g 42!", "body with (parens) & punct., x=1+2"]
+    pages = [{"texts": [(72.0, 760.0, 12.0, lines[0]),
+                        (72.0, 736.0, 12.0, lines[1])]},
+             {"texts": [(72.0, 760.0, 12.0, "second page line")]}]
+    blobs = spark.createDataFrame(
+        [("g", bytearray(build_tiny_pdf(pages, compress=True, use_tj=True))),
+         ("bad", bytearray(b"junk"))],
+        "doc_id string, content binary")
+    rast = render_pdf_pages(blobs, scale=2.0, glyphs=True, crop_top_pt=100.0)
+    out = ocr_glyph_decode(rast)
+    rows = sorted(
+        ((r["doc_id"], r["p_num"], r["line_ord"], r["text"]) for r in
+         out.filter("error IS NULL").collect()))
+    assert rows == [
+        ("g", 0, 0, lines[0]), ("g", 0, 1, lines[1]),
+        ("g", 1, 0, "second page line")]
+    errs = [r["doc_id"] for r in out.filter("error IS NOT NULL").collect()]
+    assert errs == ["bad"]
+    # elements-in path produces the identical decode (one parse per
+    # blob when spans + rasters are both needed)
+    els = parse_pdf_blobs(blobs.withColumnRenamed("doc_id", "ref"),
+                          emit_chars=True)
+    rast2 = render_pdf_pages_from_elements(els, scale=2.0, glyphs=True,
+                                           crop_top_pt=100.0)
+    rows2 = sorted(
+        ((r["doc_id"], r["p_num"], r["line_ord"], r["text"]) for r in
+         ocr_glyph_decode(rast2).filter("error IS NULL").collect()))
+    assert rows2 == rows
+
+
+def test_glyph_font_alphabet_round_trip():
+    """Every printable-ASCII char survives paint -> decode at the
+    12pt/scale-2 driver geometry, including mixed lines with runs of
+    spaces (interior preserved, trailing stripped)."""
+    import numpy as np
+
+    from pydoxtools_spark.functions.glyphfont import (
+        decode_glyph_page, paint_glyph)
+
+    alphabet = "".join(chr(c) for c in range(33, 127))
+    text = alphabet[:40] + "  " + alphabet[40:80]
+    px = np.full((40, 12 * (len(text) + 2), 3), 255, dtype=np.uint8)
+    x = 24
+    for ch in text:
+        if ch != " ":
+            paint_glyph(px, ord(ch), x, x + 12, 8, 32)
+        x += 12
+    lines = decode_glyph_page(px)
+    assert lines == [(8, text)]
