@@ -213,6 +213,17 @@ def q_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # loses the structure its split /Contents arrays
                     # need for exact recovery — partial salvage only)
                     data = build_pdf_v15(pages)
+                elif int(doc_id) % 3 == 2 and int(doc_id) % 5 != 0:
+                    # r5: Type0/Identity-H CID dialect (hex-string
+                    # CIDs through a /ToUnicode CMap; /DW 500 keeps
+                    # the 0.5-em layout, so the oracle is unchanged).
+                    # Never damaged: the CMap lives in a stream the
+                    # lenient rung cannot attribute to its font.
+                    from pydoxtools_spark.functions.pdfparse import (
+                        build_pdf_cid,
+                    )
+
+                    data = build_pdf_cid(pages)
                 else:
                     data = build_tiny_pdf(pages, compress=True, use_tj=True)
                 if int(doc_id) % 5 == 0:

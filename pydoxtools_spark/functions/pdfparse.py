@@ -231,6 +231,114 @@ def build_tiny_pdf(
     return bytes(out)
 
 
+def build_pdf_cid(pages: list[dict], compress: bool = True,
+                  use_bfrange: bool = False, emit_w: bool = False,
+                  font: str = "FixtureCJK") -> bytes:
+    """Type0/CID-dialect writer (ISO 32000 §9.7 — the shape every CJK
+    PDF ships): text as Identity-H 2-byte CIDs in HEX strings, a
+    /Type0 font whose descendant CIDFontType2 carries /DW 500 (the
+    0.5-em fixture advance, so layout is identical to the classic
+    dialect for any text), and a /ToUnicode CMap stream mapping each
+    CID back to Unicode.  CIDs are assigned per document in sorted
+    char order.
+
+      use_bfrange  consecutive-codepoint runs emitted as bfrange
+                   triples instead of bfchar pairs (exercises both
+                   CMap section parsers)
+      emit_w       also writes an explicit /W array listing every CID
+                   at 500 (exercises the /W width resolver; layout
+                   unchanged)
+    """
+    chars = sorted({ch for page in pages
+                    for _x, _y, _s, text in page.get("texts", [])
+                    for ch in text})
+    cid_of = {ch: i + 1 for i, ch in enumerate(chars)}
+
+    n_pages = len(pages)
+    font_obj = 3 + 2 * n_pages
+    desc_obj, cmap_obj = font_obj + 1, font_obj + 2
+
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, page in enumerate(pages):
+        content = bytearray()
+        for x, y, size, text in page.get("texts", []):
+            hx = "".join(f"{cid_of[ch]:04X}" for ch in text)
+            content += b"BT /F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm <%s> Tj ET\n" \
+                % (size, x, y, hx.encode("ascii"))
+        for x, y, w, h in page.get("rects", []):
+            content += b"%.2f %.2f %.2f %.2f re S\n" % (x, y, w, h)
+        for x0, y0, x1, y1 in page.get("lines", []):
+            content += b"%.2f %.2f m %.2f %.2f l S\n" % (x0, y0, x1, y1)
+        filt = b""
+        if compress:
+            content = bytearray(zlib.compress(bytes(content)))
+            filt = b" /Filter /FlateDecode"
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} "
+            f"{PAGE_H:g}] /Contents {4 + 2 * i} 0 R /Resources "
+            f"<< /Font << /F1 {font_obj} 0 R >> >> >>".encode())
+        objs.append(b"<< /Length %d%s >>\nstream\n%s\nendstream"
+                    % (len(content), filt, content))
+
+    objs.append((
+        f"<< /Type /Font /Subtype /Type0 /BaseFont /{font} "
+        f"/Encoding /Identity-H /DescendantFonts [{desc_obj} 0 R] "
+        f"/ToUnicode {cmap_obj} 0 R >>").encode())
+    desc = (f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /{font} "
+            "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+            "/Supplement 0 >> /DW 500")
+    if emit_w and chars:
+        desc += " /W [1 [" + " ".join(["500"] * len(chars)) + "]]"
+    objs.append((desc + " >>").encode())
+
+    lines_out = [b"/CIDInit /ProcSet findresource begin",
+                 b"12 dict begin", b"begincmap",
+                 b"1 begincodespacerange", b"<0000> <FFFF>",
+                 b"endcodespacerange"]
+    if use_bfrange:
+        # consecutive (cid, codepoint) runs -> bfrange triples
+        runs: list[tuple[int, int, int]] = []
+        for ch in chars:
+            cid, cp = cid_of[ch], ord(ch)
+            if runs and runs[-1][1] + 1 == cid \
+                    and ord(chars[cid - 2]) + 1 == cp:
+                runs[-1] = (runs[-1][0], cid, runs[-1][2])
+            else:
+                runs.append((cid, cid, cp))
+        lines_out.append(b"%d beginbfrange" % len(runs))
+        for lo, hi, cp in runs:
+            lines_out.append(b"<%04X> <%04X> <%04X>" % (lo, hi, cp))
+        lines_out.append(b"endbfrange")
+    else:
+        lines_out.append(b"%d beginbfchar" % len(chars))
+        for ch in chars:
+            dst = ch.encode("utf-16-be").hex().upper().encode("ascii")
+            lines_out.append(b"<%04X> <%s>" % (cid_of[ch], dst))
+        lines_out.append(b"endbfchar")
+    lines_out += [b"endcmap", b"end", b"end"]
+    cmap_payload = zlib.compress(b"\n".join(lines_out))
+    objs.append(b"<< /Filter /FlateDecode /Length %d >>\nstream\n%s"
+                b"\nendstream" % (len(cmap_payload), cmap_payload))
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_at))
+    return bytes(out)
+
+
 # ------------------------------------------------------------------ reader
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.S)
@@ -347,7 +455,113 @@ def _parse_font_dict(body: bytes) -> dict:
     return f
 
 
-def _page_fonts(page: bytes, objs: dict[int, bytes]) -> dict[bytes, dict]:
+# ---- Type0/CID composite fonts (ISO 32000 §9.7): Identity-H 2-byte
+# CIDs in hex strings, text recovered through the /ToUnicode CMap,
+# advances from the descendant CIDFont's /W array (default /DW).
+_DESCENDANT_RE = re.compile(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_DW_RE = re.compile(rb"/DW\s+(\d+)")
+_W_RE = re.compile(rb"/W\s*\[(.*?)\]\s*(?:/|>>)", re.S)
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _u16(hexs: bytes) -> str:
+    return bytes.fromhex(hexs.decode("ascii")).decode(
+        "utf-16-be", errors="replace")
+
+
+def _parse_tounicode(payload: bytes) -> dict[int, str]:
+    """ToUnicode CMap stream -> {cid: unicode string}: bfchar pairs and
+    bfrange triples (<lo> <hi> <dst-start> form; the array-destination
+    bfrange form is outside this subset)."""
+    cmap: dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(payload):
+        toks = _HEXTOK_RE.findall(m.group(1))
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            cmap[int(src, 16)] = _u16(dst)
+    for m in _BFRANGE_RE.finditer(payload):
+        toks = _HEXTOK_RE.findall(m.group(1))
+        for lo, hi, dst in zip(toks[0::3], toks[1::3], toks[2::3]):
+            start = int(dst, 16)
+            for i in range(int(hi, 16) - int(lo, 16) + 1):
+                cmap[int(lo, 16) + i] = chr(start + i)
+    return cmap
+
+
+def _parse_w_array(body: bytes) -> dict[int, int]:
+    """CIDFont /W widths (ISO 32000 §9.7.4.3), both forms:
+    `c [w1 w2 ...]` (consecutive from c) and `cfirst clast w`."""
+    widths: dict[int, int] = {}
+    m = _W_RE.search(body)
+    if not m:
+        return widths
+    toks = (m.group(1).replace(b"[", b" [ ").replace(b"]", b" ] ")
+            .split())
+    i = 0
+    while i < len(toks):
+        try:
+            c = int(toks[i])
+        except ValueError:
+            i += 1
+            continue
+        if i + 1 < len(toks) and toks[i + 1] == b"[":
+            j = i + 2
+            k = 0
+            while j < len(toks) and toks[j] != b"]":
+                try:
+                    widths[c + k] = int(float(toks[j]))
+                except ValueError:
+                    pass
+                j += 1
+                k += 1
+            i = j + 1
+        elif i + 2 < len(toks):
+            try:
+                last, w = int(toks[i + 1]), int(float(toks[i + 2]))
+                for cc in range(c, last + 1):
+                    widths[cc] = w
+            except ValueError:
+                pass
+            i += 3
+        else:
+            break
+    return widths
+
+
+def _parse_type0_font(fobj: bytes, objs: dict[int, bytes], data: bytes,
+                      objstart: dict[int, int]) -> dict:
+    """Type0 font dict -> font info with cmap/dw/cid_widths resolved
+    through the descendant CIDFont and the /ToUnicode stream."""
+    f = {"base": None, "widths": None, "cmap": {}, "dw": 500,
+         "cid_widths": {}}
+    bm = _BASEFONT_RE.search(fobj)
+    if bm:
+        f["base"] = bm.group(1).decode("latin-1")
+    dm = _DESCENDANT_RE.search(fobj)
+    if dm:
+        desc = objs.get(int(dm.group(1)))
+        if desc is not None:
+            dwm = _DW_RE.search(desc)
+            if dwm:
+                f["dw"] = int(dwm.group(1))
+            f["cid_widths"] = _parse_w_array(desc)
+    tm = _TOUNICODE_RE.search(fobj)
+    if tm:
+        num = int(tm.group(1))
+        if num in objstart:
+            try:
+                head, payload = _stream_payload_at(data, objstart[num])
+                f["cmap"] = _parse_tounicode(_maybe_flate(head, payload))
+            except PdfParseError:
+                pass  # unreadable CMap: CIDs fall back to U+FFFD
+    return f
+
+
+def _page_fonts(page: bytes, objs: dict[int, bytes],
+                data: bytes = b"",
+                objstart: dict[int, int] | None = None) -> dict[bytes, dict]:
     """Resolve the page's /Resources /Font name -> font-info map."""
     fonts: dict[bytes, dict] = {}
     fr = _FONTRES_RE.search(page)
@@ -355,7 +569,11 @@ def _page_fonts(page: bytes, objs: dict[int, bytes]) -> dict[bytes, dict]:
         for m in _FONTREF_RE.finditer(fr.group(1)):
             fobj = objs.get(int(m.group(2)))
             if fobj is not None:
-                fonts[b"/" + m.group(1)] = _parse_font_dict(fobj)
+                if b"/Type0" in fobj:
+                    fonts[b"/" + m.group(1)] = _parse_type0_font(
+                        fobj, objs, data, objstart or {})
+                else:
+                    fonts[b"/" + m.group(1)] = _parse_font_dict(fobj)
     return fonts
 
 
@@ -462,7 +680,7 @@ def _content_streams_strict(data: bytes) -> list[tuple[bytes, dict]]:
         if page is None:
             raise PdfParseError("dangling /Kids reference")
         streams.append((_page_content(page, data, objstart),
-                        _page_fonts(page, objs)))
+                        _page_fonts(page, objs, data, objstart)))
     return streams
 
 
@@ -546,6 +764,10 @@ def parse_pdf_info(data: bytes) -> dict:
 
 
 _STR_TOKEN = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.S)
+# literal string OR hex string (ISO 32000 §7.3.4.3); `<<` dict
+# delimiters never match (the char after '<' must be hex/space/'>')
+_ANYSTR_TOKEN = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>", re.S)
 
 
 def _unesc(raw: bytes) -> str:
@@ -570,8 +792,10 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
     resolved font's width model (see glyph_width)."""
     fonts = fonts or {}
     texts, graphics = [], []
-    # tokenize: strings as single tokens; '[' / ']' broken out of the
-    # whitespace-split chunks so TJ arrays delimit cleanly
+    # tokenize: literal AND hex strings as single tokens; '[' / ']'
+    # broken out of the whitespace-split chunks so TJ arrays delimit
+    # cleanly.  Hex strings stay raw bytes — a CID font decodes them
+    # 2 bytes per glyph through its CMap at show time.
     pos = 0
     tokens: list[object] = []
 
@@ -579,9 +803,19 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
         tokens.extend(
             chunk.replace(b"[", b" [ ").replace(b"]", b" ] ").split())
 
-    for m in _STR_TOKEN.finditer(stream):
+    for m in _ANYSTR_TOKEN.finditer(stream):
         _extend_plain(stream[pos:m.start()])
-        tokens.append(("str", _unesc(m.group(0)[1:-1])))
+        raw = m.group(0)
+        if raw[:1] == b"(":
+            tokens.append(("str", _unesc(raw[1:-1])))
+        else:
+            hx = re.sub(rb"\s+", b"", raw[1:-1])
+            if len(hx) % 2:  # odd nibble count: implicit trailing 0
+                hx += b"0"
+            try:
+                tokens.append(("hex", bytes.fromhex(hx.decode("ascii"))))
+            except ValueError:
+                tokens.append(("hex", b""))
         pos = m.end()
     _extend_plain(stream[pos:])
 
@@ -599,7 +833,33 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
 
     text_obj = 0  # BT counter: merge only within one text object
 
-    def show(s: str):
+    def _decode_string(tok) -> tuple[str, list[float] | None]:
+        """String token -> (text, advances|None).  A hex string under a
+        CID font decodes 2-byte CIDs through the ToUnicode CMap with
+        /W-or-/DW advances; a hex string under a simple font is a
+        plain byte string (latin-1); literal strings keep the simple
+        path (Identity-H writers emit hex — documented subset)."""
+        kind, val = tok
+        if kind != "hex":
+            return val, None
+        cmap = cur_font.get("cmap")
+        if cmap is None:
+            return val.decode("latin-1"), None
+        w = cur_font.get("cid_widths") or {}
+        dw = cur_font.get("dw", 500)
+        s_parts: list[str] = []
+        adv: list[float] = []
+        for i in range(0, len(val) - 1, 2):
+            cid = int.from_bytes(val[i:i + 2], "big")
+            u = cmap.get(cid, "�")
+            s_parts.append(u)
+            # a CID mapping to several UTF-16 units carries its whole
+            # advance on the first unit
+            adv.append(w.get(cid, dw) / 1000.0 * size)
+            adv.extend(0.0 for _ in range(len(u) - 1))
+        return "".join(s_parts), adv
+
+    def show(s: str, adv: list[float] | None = None):
         """Emit a shown string, coalescing contiguous runs: successive
         show calls inside ONE text object on the same baseline/size
         (TJ segments, kerned or not) merge into a single text entry —
@@ -609,8 +869,9 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
         nonlocal tx
         if not s:
             return
-        adv = [glyph_width(ch, size, cur_font.get("base"),
-                           cur_font.get("widths")) for ch in s]
+        if adv is None:
+            adv = [glyph_width(ch, size, cur_font.get("base"),
+                               cur_font.get("widths")) for ch in s]
         if texts and texts[-1][5] == text_obj:
             px, py, psize, ptext, padv, _ = texts[-1]
             if py == ty and psize == size and padv:
@@ -648,16 +909,17 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
             tx, ty = lx, ly
             stack.clear()
         elif op == b"Tj":
-            s = stack[-1][1] if isinstance(stack[-1], tuple) else ""
-            show(s)
+            if isinstance(stack[-1], tuple):
+                show(*_decode_string(stack[-1]))
             stack.clear()
         elif op in (b"'", b'"'):
             # ' = T* + show; " = set word/char spacing + T* + show
             # (spacings ignored in this subset)
-            s = stack[-1][1] if isinstance(stack[-1], tuple) else ""
+            tok = stack[-1] if isinstance(stack[-1], tuple) else None
             ly -= leading
             tx, ty = lx, ly
-            show(s)
+            if tok is not None:
+                show(*_decode_string(tok))
             stack.clear()
         elif op == b"TJ":
             # array show: strings advance, numbers kern by -n/1000 em
@@ -670,7 +932,7 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
                 arr.append(t)
             for el in reversed(arr):
                 if isinstance(el, tuple):
-                    show(el[1])
+                    show(*_decode_string(el))
                 else:
                     try:
                         tx -= float(el) / 1000.0 * size
