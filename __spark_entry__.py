@@ -826,8 +826,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """11+4-language heuristic ID (r5: hi/ru/th/el script tier) with a
+    confidence column so downstream quota/filter ops can separate
+    low-confidence rows (r4 verdict item 7)."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", textstats.lang_id(F.col("text")).alias("lang_pred"))
+    return d.select(
+        "doc_id",
+        textstats.lang_id(F.col("text")).alias("lang_pred"),
+        textstats.lang_id_confidence(F.col("text")).alias("lang_conf"),
+    )
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1953,7 +1960,9 @@ def oracle_sql() -> dict[str, str]:
     FROM ex GROUP BY doc_id, section
     """
     lang_oracle = (
-        "SELECT doc_id, " + textstats.lang_id_sql("text") + " AS lang_pred FROM documents"
+        "SELECT doc_id, " + textstats.lang_id_sql("text")
+        + " AS lang_pred, " + textstats.lang_id_confidence_sql("text")
+        + " AS lang_conf FROM documents"
     )
     ad_expr = (
         "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CASE WHEN "

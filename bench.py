@@ -184,6 +184,84 @@ def extraction_throughput(spark, sf_dir):
             "docs_per_sec": round(n_docs / dt, 1)}
 
 
+def _mixed_dir_corpus(n_files: int = 3000) -> str:
+    """Deterministic mixed-format raw-file directory (pdf classic/CID,
+    docx, rtf, html, txt) for the extract_files ingestion benchmark —
+    the user-facing one-call entry point (probe + route + extract)."""
+    d = f"/tmp/px_mixed_dir_{n_files}"
+    marker = os.path.join(d, ".complete")
+    if os.path.exists(marker):
+        return d
+    import shutil
+
+    from pydoxtools_spark.functions.docx import build_tiny_docx
+    from pydoxtools_spark.functions.pdfparse import (
+        build_pdf_cid,
+        build_tiny_pdf,
+    )
+    from pydoxtools_spark.functions.rtf import build_tiny_rtf
+
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for i in range(n_files):
+        body = (f"document {i} body sentence one. "
+                f"second sentence with shared words {i % 50}.")
+        m = i % 6
+        if m == 0:
+            payload = build_tiny_pdf(
+                [{"texts": [(72.0, 700.0, 18.0, f"Doc {i}"),
+                            (72.0, 600.0, 10.0, body)]}],
+                compress=True, use_tj=True)
+            name = f"doc{i:05d}.pdf"
+        elif m == 1:
+            payload = build_pdf_cid(
+                [{"texts": [(72.0, 700.0, 18.0, f"Doc {i}"),
+                            (72.0, 600.0, 10.0, body)]}])
+            name = f"doc{i:05d}.pdf"
+        elif m == 2:
+            payload = build_tiny_docx(
+                [("header", f"Doc {i}", 1), ("text", body),
+                 ("list", [f"item {j} of {i}" for j in range(3)])])
+            name = f"doc{i:05d}.docx"
+        elif m == 3:
+            payload = build_tiny_rtf(
+                [("header", f"Doc {i}", 1), ("text", body)])
+            name = f"doc{i:05d}.rtf"
+        elif m == 4:
+            payload = (f"<html><head><title>Doc {i}</title></head>"
+                       f"<body><h1>Doc {i}</h1><p>{body}</p>"
+                       "</body></html>").encode()
+            name = f"doc{i:05d}.html"
+        else:
+            payload = f"Doc {i}\n\n{body}".encode()
+            name = f"doc{i:05d}.txt"
+        with open(os.path.join(d, name), "wb") as fh:
+            fh.write(payload)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+def ingest_throughput(spark) -> dict:
+    """files/sec for extract_files (directory -> probe -> routed
+    extract), materialized with a parquet write (a bare count lets
+    Catalyst prune the kernels)."""
+    import shutil
+
+    from pydoxtools_spark.pipeline import extract_files
+
+    d = _mixed_dir_corpus()
+    out = "/tmp/px_ingest_bench_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.monotonic()
+    extract_files(spark, d, wildcard="doc*", parallelism=CPUS).write.mode(
+        "overwrite").parquet(out)
+    dt = time.monotonic() - t0
+    n = spark.read.parquet(out).count()
+    return {"files": n, "sec": round(dt, 3),
+            "files_per_sec": round(n / dt, 1)}
+
+
 def _bench_corpus(n_docs: int) -> str:
     """Generate (once) the interleaved fixture corpus used for the
     full-pipeline throughput + scaling runs."""
@@ -399,6 +477,7 @@ def main():
     drift = round(canary_sec / CANARY_BASELINE_SEC, 3)
     times, _rows = run_suite(spark, SF_DIR)
     extr = extraction_throughput(spark, SF_DIR)
+    ingest = ingest_throughput(spark)
     recall = None
     if os.environ.get("SPARK_GRAFT_BENCH_RECALL", "1") != "0":
         recall = ann_recall(spark)
@@ -417,6 +496,7 @@ def main():
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "extraction": extr,
+        "ingest": ingest,
         "canary": {
             "sec": canary_sec,
             "baseline_sec": CANARY_BASELINE_SEC,

@@ -167,6 +167,12 @@ LANGID_CHAR_CLASSES = {
     "ja": "[ぁ-ゖァ-ヺ]",
     "ko": "[가-힣]",
     "ar": "[ء-ي]",
+    # r5 tier (r4 verdict item 7): pure char-class scripts — both
+    # engines count the same ranges, so twin agreement is trivial
+    "hi": "[ऀ-ॿ]",   # Devanagari U+0900-097F
+    "ru": "[Ѐ-ӿ]",   # Cyrillic U+0400-04FF
+    "th": "[ก-๛]",   # Thai U+0E01-0E5B
+    "el": "[Ͱ-Ͽ]",   # Greek U+0370-03FF
 }
 CJK_CHAR_CLASS = LANGID_CHAR_CLASSES["zh"]
 

@@ -139,6 +139,10 @@ def extract_docx_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
     body = root.find(f"{{{W}}}body")
     if body is None:
         raise DocxParseError("document.xml without w:body")
+    return _body_spans(body, rels)
+
+
+def _body_spans(body, rels):
 
     spans: list[tuple[str, str | None, str | None]] = []
     list_items: list[str] = []
@@ -189,6 +193,51 @@ def extract_docx_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
     return spans
 
 
+_MEDIA_PREFIXES = ("word/media/", "Pictures/", "OEBPS/images/",
+                   "OEBPS/Images/", "images/")
+
+
+def extract_container_media(data: bytes) -> list[tuple[str, bytes]]:
+    """Embedded media payloads of a zip container document ->
+    [(target, bytes)] — the bytes behind the image spans' media_ref
+    targets, so they can route through media_features like any other
+    blob (r4 verdict item 6; the reference gets these via pandoc's
+    media extraction, extract_pandoc.py:98-167).
+
+    docx: rels-declared image targets (word/_rels/document.xml.rels)
+    resolved against word/; odt/epub: the conventional media
+    directories (Pictures/, OEBPS/images/).  Order = zip entry order
+    (deterministic: the writers emit fixed layouts)."""
+    out: list[tuple[str, bytes]] = []
+    seen: set[str] = set()
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as z:
+            names = z.namelist()
+            targets: list[tuple[str, str]] = []  # (media_ref target, part)
+            try:
+                rels_xml = z.read("word/_rels/document.xml.rels")
+                for rel in ET.fromstring(rels_xml).iter(
+                        f"{{{REL}}}Relationship"):
+                    if rel.get("Type", "").endswith("/image"):
+                        t = rel.get("Target") or ""
+                        targets.append((t, "word/" + t.lstrip("/")))
+            except (KeyError, ET.ParseError):
+                pass
+            for n in names:
+                if n.startswith(_MEDIA_PREFIXES) and not n.endswith("/"):
+                    targets.append((n, n))
+            for target, part in targets:
+                # dedupe by PART: a rels-declared word/media entry must
+                # not also surface under its raw zip name
+                if part in seen or part not in names:
+                    continue
+                seen.add(part)
+                out.append((target, z.read(part)))
+    except (zipfile.BadZipFile, OSError) as e:
+        raise DocxParseError(f"bad container zip: {e}") from None
+    return out
+
+
 # ------------------------------------------------------------------ writer
 
 _XML_ESC = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
@@ -217,9 +266,13 @@ def build_tiny_docx(blocks: list[tuple]) -> bytes:
       ("header", text, level)   ("text", text)
       ("list", [items])         ("table", [[cells]])
       ("image", target)         e.g. target="media/image1.png"
+      ("image", target, bytes)  embeds a REAL payload at word/<target>
+                                (e.g. a build_bmp raster), extractable
+                                via extract_container_media
     """
     body: list[str] = []
     images: list[str] = []
+    payloads: dict[str, bytes] = {}
     n_lists = 0
     for blk in blocks:
         kind = blk[0]
@@ -241,6 +294,8 @@ def build_tiny_docx(blocks: list[tuple]) -> bytes:
             body.append(f"<w:tbl>{rows}</w:tbl>")
         elif kind == "image":
             images.append(blk[1])
+            if len(blk) > 2:
+                payloads[blk[1]] = blk[2]
             rid = f"rId{len(images)}"
             body.append(
                 "<w:p><w:r><w:drawing><wp:inline><a:graphic><a:graphicData>"
@@ -300,7 +355,7 @@ def build_tiny_docx(blocks: list[tuple]) -> bytes:
             ("_rels/.rels", root_rels),
             ("word/document.xml", document),
             ("word/_rels/document.xml.rels", rels),
-        ] + [(f"word/{t}", f"png-placeholder-{t}")
+        ] + [(f"word/{t}", payloads.get(t, f"png-placeholder-{t}"))
              for t in dict.fromkeys(images)]:  # dedupe repeated targets
             zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
             z.writestr(zi, payload)

@@ -12,18 +12,24 @@ ordinary word-processor output, from public-spec knowledge:
                 `\ucN` fallback-skip convention, `\\ \{ \} \~` escapes
   blocks        `\par` paragraph breaks; `\outlinelevelN` marks the
                 paragraph a header; `\trowd ... \cell ... \row` tables
+  lists         paragraphs carrying `\lsN` (Word list-override index)
+                or a `{\listtext...}` / `{\pntext...}` marker group;
+                adjacent items with the same list id merge into ONE
+                list span (the docx-numId convention, so the
+                cross-format property holds) — r5, closing the r4
+                subset gap
 
 Block -> span mapping matches the docx/odt/markdown branches (same
-KIND_*, norm_ws / table_to_text canonical forms).  Lists and images
-are out of the minimal subset (RTF encodes lists as styled text).
+KIND_*, norm_ws / list_to_text / table_to_text canonical forms).
+Images remain out of the subset (RTF embeds them as hex \pict blobs).
 """
 
 from __future__ import annotations
 
 import re
 
-from ..constants import KIND_HEADER, KIND_TABLE, KIND_TEXT
-from .spantext import norm_ws, table_to_text
+from ..constants import KIND_HEADER, KIND_LIST, KIND_TABLE, KIND_TEXT
+from .spantext import list_to_text, norm_ws, table_to_text
 
 
 class RtfParseError(ValueError):
@@ -57,6 +63,10 @@ def _join_surrogates(s: str) -> str:
 _SKIP_DESTINATIONS = {
     b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
     b"themedata", b"listtable", b"listoverridetable", b"generator",
+    # list markers: the group TEXT is the rendered bullet/number, the
+    # MARKER ITSELF flags the paragraph as a list item (handled at the
+    # control-word site before the skip)
+    b"listtext", b"pntext",
 }
 
 
@@ -71,6 +81,9 @@ def extract_rtf_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
     row: list[str] = []
     header_level: int | None = None
     in_table = False
+    para_ls: str | None = None   # this paragraph's list id (\ls / \pn)
+    list_items: list[str] = []
+    list_id: str | None = None
 
     # group state stack: (skipping, uc_fallback_count)
     stack: list[tuple[bool, int]] = []
@@ -84,12 +97,31 @@ def extract_rtf_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
             spans.append((KIND_TABLE, table_to_text(grid), None))
         grid, row, in_table = [], [], False
 
+    def flush_list():
+        nonlocal list_id
+        if list_items:
+            spans.append((KIND_LIST, list_to_text(list_items), None))
+            list_items.clear()
+        list_id = None
+
     def flush_para():
-        nonlocal header_level
+        nonlocal header_level, para_ls, list_id
         t = _join_surrogates(norm_ws("".join(para)))
         para.clear()
         if not in_table:
             flush_table()
+        if para_ls is not None and header_level is None:
+            # docx-numId convention: adjacent items sharing a list id
+            # are ONE list; an id change starts a new span
+            if list_items and para_ls != list_id:
+                flush_list()
+            if t:
+                list_items.append(t)
+                list_id = para_ls
+            para_ls = None
+            return
+        flush_list()
+        para_ls = None
         if not t:
             header_level = None
             return
@@ -144,6 +176,8 @@ def extract_rtf_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
         w = word
         n = int(param) if param is not None else None
         if w in _SKIP_DESTINATIONS:
+            if w in (b"listtext", b"pntext"):
+                para_ls = para_ls or "_marker"
             skipping = True
         elif w == b"uc":
             uc = n or 0
@@ -159,9 +193,18 @@ def extract_rtf_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
             emit_text(" ")
         elif w == b"outlinelevel":
             header_level = (n or 0) + 1
+        elif w == b"ls":
+            para_ls = str(n if n is not None else 0)
+        elif w == b"pard":
+            in_table = False
+            para_ls = None
         elif w == b"trowd":
+            if not in_table:
+                flush_list()  # a table starting closes a pending list
             in_table = True
         elif w == b"intbl":
+            if not in_table:
+                flush_list()
             in_table = True
         elif w == b"cell":
             row.append(_join_surrogates(norm_ws("".join(para))))
@@ -170,12 +213,10 @@ def extract_rtf_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
             if row:
                 grid.append(row)
             row = []
-        elif w == b"pard":
-            # \pard resets paragraph defaults, incl. \intbl — the next
-            # paragraph is outside the table unless re-marked
-            in_table = False
         # all other control words: formatting, ignored
+        # (\pard handled above: resets \intbl and the list marker)
     flush_para()
+    flush_list()
     flush_table()
     return spans
 
@@ -205,10 +246,13 @@ def _rtf_esc(s: str) -> str:
 
 
 def build_tiny_rtf(blocks: list[tuple]) -> bytes:
-    """blocks (header/text/table forms as in docx/odt writers; lists
-    and images are outside the minimal RTF subset) -> deterministic
-    RTF bytes."""
+    """blocks (header/text/list/table forms as in the docx/odt
+    writers; images remain outside the RTF subset) -> deterministic
+    RTF bytes.  List items carry the Word shape: a `{\listtext...}`
+    marker group plus `\lsN`, one list-override index per list block
+    so adjacent lists stay separate."""
     body: list[str] = []
+    n_lists = 0
     for blk in blocks:
         kind = blk[0]
         if kind == "header":
@@ -217,6 +261,13 @@ def build_tiny_rtf(blocks: list[tuple]) -> bytes:
                 f"{_rtf_esc(blk[1])}\\par}}")
         elif kind == "text":
             body.append(f"{{\\pard {_rtf_esc(blk[1])}\\par}}")
+        elif kind == "list":
+            n_lists += 1
+            for item in blk[1]:
+                body.append(
+                    f"{{\\pard\\ls{n_lists}"
+                    "{\\listtext\\u8226?\\tab}"
+                    f" {_rtf_esc(item)}\\par}}")
         elif kind == "table":
             for r in blk[1]:
                 cells = "".join(

@@ -102,12 +102,10 @@ def quality_score_sql(expr: str) -> str:
 # -------------------------------------------------------------- lang id
 
 
-def lang_id(col: Column) -> Column:
-    """Stopword-profile language ID with 'unknown' default — same
-    contract as the reference's langdetect wrapper with
-    .default('unknown') (extract_classes.py:19-26).  zh has no stopword
-    list; its score is the CJK-ideograph character count (langdetect
-    covers zh in the reference; the corpus includes zh docs)."""
+def _lang_scores(col: Column) -> Column:
+    """Array of (hits, lang) structs: stopword hit counts for the
+    latin-script profiles, character counts for the script-scored
+    classes."""
     lowered = F.lower(col)
     scores = []
     for lang, words in LANGID_STOPWORDS.items():
@@ -125,8 +123,44 @@ def lang_id(col: Column) -> Column:
                 F.lit(lang).alias("lang"),
             )
         )
-    best = F.array_max(F.array(*scores))
+    return F.array(*scores)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-profile language ID with 'unknown' default — same
+    contract as the reference's langdetect wrapper with
+    .default('unknown') (extract_classes.py:19-26).  zh has no stopword
+    list; its score is the CJK-ideograph character count (langdetect
+    covers zh in the reference; the corpus includes zh docs)."""
+    best = F.array_max(_lang_scores(col))
     return F.when(best["hits"] > 0, best["lang"]).otherwise("unknown")
+
+
+def lang_id_confidence(col: Column) -> Column:
+    """Confidence for lang_id (r4 verdict item 7: downstream
+    quota/filter ops need to treat low-confidence rows separately):
+    best-language hit count over the whitespace token count, capped at
+    1.0 (script-scored languages count CHARS, which can exceed the
+    token count).  0.0 for 'unknown' rows — the signal that the doc
+    matched no profile at all."""
+    best = F.array_max(_lang_scores(col))
+    nw = F.size(F.regexp_extract_all(col, F.lit(r"\S+"), 0))
+    return F.round(
+        F.least(best["hits"] / F.greatest(nw, F.lit(1)), F.lit(1.0)), 4)
+
+
+def lang_id_confidence_sql(expr: str) -> str:
+    """DuckDB twin of lang_id_confidence (greatest() over the same hit
+    counts; identical cap and rounding)."""
+    hits = {
+        lang: f"len(regexp_extract_all(lower({expr}), '\\b({'|'.join(ws)})\\b'))"
+        for lang, ws in LANGID_STOPWORDS.items()
+    }
+    for lang, cls in LANGID_CHAR_CLASSES.items():
+        hits[lang] = f"len(regexp_extract_all({expr}, '{cls}'))"
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    nw = f"len(regexp_extract_all({expr}, '\\S+'))"
+    return f"round(least({best} / greatest({nw}, 1), 1.0), 4)"
 
 
 def lang_id_sql(expr: str) -> str:

@@ -1044,13 +1044,15 @@ def test_quality_filter_reason_trail(spark):
 
 
 def test_lang_id_eleven_languages_spark_duckdb_agree(spark):
-    """lang_id covers 7 stopword languages + 4 script-scored ones
-    (r4): Spark and the DuckDB twin must label every sample
-    identically — incl. Japanese-with-kanji beating zh via kana, and
-    the unknown fallback."""
+    """lang_id covers 7 stopword languages + 8 script-scored ones
+    (r5 adds hi/ru/th/el): Spark and the DuckDB twin must label every
+    sample identically — incl. Japanese-with-kanji beating zh via
+    kana, and the unknown fallback — and the confidence twins agree
+    too (0.0 exactly for unknown)."""
     import duckdb
 
-    from pydoxtools_spark.operators.textstats import lang_id, lang_id_sql
+    from pydoxtools_spark.operators.textstats import (
+        lang_id, lang_id_confidence, lang_id_confidence_sql, lang_id_sql)
 
     samples = [
         ("en", "the cat sat with the dog and that is fine"),
@@ -1064,6 +1066,10 @@ def test_lang_id_eleven_languages_spark_duckdb_agree(spark):
         ("ja", "これは日本語のテストです、漢字も含まれます"),
         ("ko", "이것은 한국어 테스트 문장입니다"),
         ("ar", "هذه جملة اختبار باللغة العربية"),
+        ("hi", "यह हिंदी भाषा की परीक्षण पंक्ति है"),
+        ("ru", "это тестовое предложение на русском языке"),
+        ("th", "นี่คือประโยคทดสอบภาษาไทย"),
+        ("el", "αυτή είναι μια δοκιμαστική πρόταση στα ελληνικά"),
         ("unknown", "xyzzy qwerty 12345"),
     ]
     df = spark.createDataFrame(samples, "want string, txt string")
@@ -1076,6 +1082,13 @@ def test_lang_id_eleven_languages_spark_duckdb_agree(spark):
     duck = dict(con.execute(
         f"SELECT want, {lang_id_sql('txt')} FROM t").fetchall())
     assert duck == got
+    conf = {r["want"]: r["c"] for r in df.select(
+        "want", lang_id_confidence(F.col("txt")).alias("c")).collect()}
+    duck_conf = dict(con.execute(
+        f"SELECT want, {lang_id_confidence_sql('txt')} FROM t").fetchall())
+    assert conf == duck_conf, (conf, duck_conf)
+    assert conf["unknown"] == 0.0
+    assert all(0.0 < v <= 1.0 for w, v in conf.items() if w != "unknown")
 
 
 def test_glyph_raster_ocr_round_trip(spark):
