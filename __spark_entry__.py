@@ -225,7 +225,19 @@ def q_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
                     data = build_pdf_cid(pages)
                 else:
-                    data = build_tiny_pdf(pages, compress=True, use_tj=True)
+                    # r5: within the classic group, rotate the
+                    # non-Flate filter dialects (LZWDecode and the
+                    # [/ASCII85Decode /FlateDecode] chain) — layout
+                    # identical, oracle unchanged; never the damaged
+                    # subset (lenient can't zlib-sniff LZW payloads)
+                    sf = None
+                    if int(doc_id) % 5 != 0:
+                        if int(doc_id) % 9 == 0:
+                            sf = "lzw"
+                        elif int(doc_id) % 9 == 6:
+                            sf = "a85+flate"
+                    data = build_tiny_pdf(pages, compress=True,
+                                          use_tj=True, stream_filter=sf)
                 if int(doc_id) % 5 == 0:
                     # damaged: repair rung must recover (and now also
                     # zlib-sniff the compressed stream blobs)

@@ -136,6 +136,7 @@ def build_tiny_pdf(
     producer: str | None = None,
     creator: str | None = None,
     length_indirect: bool = False,
+    stream_filter: str | None = None,
 ) -> bytes:
     """pages: [{"texts": [(x, y, size, text)], "rects": [(x, y, w, h)],
     "lines": [(x0, y0, x1, y1)]}] -> PDF bytes.  One content stream per
@@ -153,6 +154,11 @@ def build_tiny_pdf(
       length_indirect   stream /Length entries are indirect references
                  to trailing integer objects (the linearized-writer
                  shape that forced the _LENGTH_REF_RE resolver)
+      stream_filter  overrides `compress` with a named filter dialect:
+                 'lzw' (/LZWDecode), 'ahx' (/ASCIIHexDecode),
+                 'a85' (/ASCII85Decode), or the chain 'a85+flate'
+                 ([/ASCII85Decode /FlateDecode] — the binary-safe
+                 transport shape old mailers produced)
     """
     objs: list[bytes] = []  # 1-indexed object bodies
 
@@ -167,7 +173,21 @@ def build_tiny_pdf(
     for i, page in enumerate(pages):
         content = bytearray(_render_page_content(page, use_tj))
         filt = b""
-        if compress:
+        if stream_filter == "lzw":
+            content = bytearray(_lzw_encode(bytes(content)))
+            filt = b" /Filter /LZWDecode"
+        elif stream_filter == "ahx":
+            content = bytearray(_ahx_encode(bytes(content)))
+            filt = b" /Filter /ASCIIHexDecode"
+        elif stream_filter == "a85":
+            content = bytearray(_a85_encode(bytes(content)))
+            filt = b" /Filter /ASCII85Decode"
+        elif stream_filter == "a85+flate":
+            content = bytearray(_a85_encode(zlib.compress(bytes(content))))
+            filt = b" /Filter [/ASCII85Decode /FlateDecode]"
+        elif stream_filter is not None:
+            raise ValueError(f"unknown stream_filter: {stream_filter}")
+        elif compress:
             content = bytearray(zlib.compress(bytes(content)))
             filt = b" /Filter /FlateDecode"
         objs.append(
@@ -423,17 +443,155 @@ def _stream_payload_at(data: bytes, body_start: int) -> tuple[bytes, bytes]:
     return head, data[p:end].rstrip(b"\r\n")
 
 
-def _maybe_flate(head: bytes, payload: bytes) -> bytes:
-    """Decode a stream payload according to the dict head's /Filter.
-    Only FlateDecode is supported — anything else is a parse error the
-    repair ladder/caller contains."""
-    if b"/FlateDecode" in head:
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (ISO 32000 §7.4.4 — the TIFF variant): 9..12-bit
+    variable-width codes, 256 = clear table, 257 = EOD, EarlyChange
+    (default 1) bumps the width one code early."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    bitbuf = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise PdfParseError("bad LZW start code")
+            elif code in table:
+                entry = table[code]
+                if next_code < 4096:
+                    table[next_code] = prev + entry[:1]
+                    next_code += 1
+            elif code == next_code and next_code < 4096:  # KwKwK case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise PdfParseError("bad LZW code")
+            out += entry
+            prev = entry
+            if next_code + early - 1 >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder twin (round-trip fixtures for the LZWDecode path)."""
+    out = bytearray()
+    bitbuf = bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, bits
+        bitbuf = (bitbuf << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((bitbuf >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)  # leading clear-table (the conventional shape)
+    w = b""
+    for b_ in data:
+        c = bytes([b_])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        if next_code >= 4096 - early:
+            # table full at 12 bits: clear and restart (ISO 32000
+            # §7.4.4.2 — the encoder must reset before overflowing)
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        else:
+            table[w + c] = next_code
+            next_code += 1
+            if next_code + early - 1 >= (1 << width) and width < 12:
+                width += 1
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOD
+    if bits:
+        out.append((bitbuf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _a85_encode(data: bytes) -> bytes:
+    import base64
+
+    return base64.a85encode(data) + b"~>"
+
+
+def _ahx_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+# filter registry: name -> decoder (ISO 32000 §7.4; chains apply in
+# the declared order).  DCTDecode/JBIG2/CCITT stay plug-in territory
+# (image codecs, not content streams).
+def _decode_filter(name: bytes, payload: bytes) -> bytes:
+    import base64
+
+    if name == b"FlateDecode":
         try:
             return _inflate(payload)
         except zlib.error as e:
             raise PdfParseError(f"bad FlateDecode stream: {e}") from None
-    if b"/Filter" in head:
-        raise PdfParseError("unsupported stream /Filter")
+    if name == b"LZWDecode":
+        return _lzw_decode(payload)
+    if name == b"ASCIIHexDecode":
+        hx = re.sub(rb"[\s>]", b"", payload)
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except (ValueError, UnicodeDecodeError) as e:
+            raise PdfParseError(f"bad ASCIIHex stream: {e}") from None
+    if name == b"ASCII85Decode":
+        body = payload.split(b"~>")[0]
+        try:
+            return base64.a85decode(re.sub(rb"\s", b"", body))
+        except ValueError as e:
+            raise PdfParseError(f"bad ASCII85 stream: {e}") from None
+    raise PdfParseError(
+        f"unsupported stream /Filter {name.decode('latin-1')}")
+
+
+_FILTER_ARR_RE = re.compile(rb"/Filter\s*\[(.*?)\]", re.S)
+_FILTER_ONE_RE = re.compile(rb"/Filter\s*/(\w+)")
+_FILTER_NAME_RE = re.compile(rb"/(\w+)")
+
+
+def _maybe_flate(head: bytes, payload: bytes) -> bytes:
+    """Decode a stream payload per the dict head's /Filter — a single
+    name or an array CHAIN applied in declared order (real writers
+    emit e.g. [/ASCII85Decode /FlateDecode]).  Unsupported filters are
+    a parse error the repair ladder/caller contains."""
+    am = _FILTER_ARR_RE.search(head)
+    if am:
+        names = _FILTER_NAME_RE.findall(am.group(1))
+    else:
+        om = _FILTER_ONE_RE.search(head)
+        if not om:
+            if b"/Filter" in head:
+                raise PdfParseError("unparseable /Filter entry")
+            return payload
+        names = [om.group(1)]
+    for name in names:
+        payload = _decode_filter(name, payload)
     return payload
 
 

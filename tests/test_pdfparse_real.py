@@ -392,3 +392,45 @@ def test_cid_random_property():
             assert got == want, (seed, kw)
 
     check()
+
+
+def test_filter_dialects_lzw_ascii_chains():
+    """Real-world non-Flate stream filters (ISO 32000 §7.4): LZWDecode
+    (decoder matches the published §7.4.4.2 example EXACTLY in both
+    directions), ASCIIHexDecode, ASCII85Decode, and the
+    [/ASCII85Decode /FlateDecode] chain — all parse to the same
+    elements as the plain dialect; a truncated LZW stream is a
+    contained parse error."""
+    from pydoxtools_spark.functions.pdfparse import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(bytes.fromhex("800B6050220C0C8501")) == b"-----A---B"
+    assert _lzw_encode(b"-----A---B") == bytes.fromhex("800B6050220C0C8501")
+
+    base = pdf_elements_from_bytes(build_tiny_pdf(PAGES), "d")
+    for sf in ("lzw", "ahx", "a85", "a85+flate"):
+        data = build_tiny_pdf(PAGES, stream_filter=sf)
+        assert pdf_elements_from_bytes(data, "d") == base, sf
+        assert parse_pdf_info(data)["n_pages"] == len(PAGES), sf
+    # damaged LZW payload: lenient rung can't zlib-sniff it — the
+    # contract is containment, not recovery
+    data = build_tiny_pdf(PAGES, stream_filter="lzw")
+    bad = data.replace(b"stream\n", b"stream\n\xff\xff", 1)
+    try:
+        rows = pdf_elements_from_bytes(bad, "d")
+        assert isinstance(rows, list)
+    except PdfParseError:
+        pass
+
+
+def test_lzw_round_trip_property():
+    """LZW encoder/decoder pair round-trips arbitrary payloads incl.
+    the 12-bit table-full clear-and-restart path."""
+    import random
+
+    rng = random.Random(11)
+    for n in (0, 1, 300, 5000, 60000):
+        data = bytes(rng.choice(b"abcdef\x00\xff") for _ in range(n))
+        from pydoxtools_spark.functions.pdfparse import (
+            _lzw_decode, _lzw_encode)
+
+        assert _lzw_decode(_lzw_encode(data)) == data, n
