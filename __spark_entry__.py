@@ -226,18 +226,22 @@ def q_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     data = build_pdf_cid(pages)
                 else:
                     # r5: within the classic group, rotate the
-                    # non-Flate filter dialects (LZWDecode and the
-                    # [/ASCII85Decode /FlateDecode] chain) — layout
-                    # identical, oracle unchanged; never the damaged
-                    # subset (lenient can't zlib-sniff LZW payloads)
-                    sf = None
+                    # non-Flate filter dialects (LZWDecode, the
+                    # [/ASCII85Decode /FlateDecode] chain) and the
+                    # RC4-40 encrypted shape — layout identical,
+                    # oracle unchanged; never the damaged subset
+                    # (lenient can't zlib-sniff LZW/RC4 payloads)
+                    sf, ec = None, False
                     if int(doc_id) % 5 != 0:
                         if int(doc_id) % 9 == 0:
                             sf = "lzw"
                         elif int(doc_id) % 9 == 6:
                             sf = "a85+flate"
+                        elif int(doc_id) % 9 == 3:
+                            ec = True
                     data = build_tiny_pdf(pages, compress=True,
-                                          use_tj=True, stream_filter=sf)
+                                          use_tj=True, stream_filter=sf,
+                                          encrypt=ec)
                 if int(doc_id) % 5 == 0:
                     # damaged: repair rung must recover (and now also
                     # zlib-sniff the compressed stream blobs)

@@ -105,6 +105,14 @@ def _esc(s: str) -> bytes:
     ).encode("utf-8")
 
 
+def _esc_bytes(b: bytes) -> bytes:
+    """Literal-string escape for BINARY strings (the /O and /U
+    encryption entries): backslash, parens, and CR (a raw \r would be
+    normalized by line-ending translation in some toolchains)."""
+    return (b.replace(b"\\", b"\\\\").replace(b"(", b"\\(")
+            .replace(b")", b"\\)").replace(b"\r", b"\\r"))
+
+
 def _render_page_content(page: dict, use_tj: bool) -> bytes:
     content = bytearray()
     for x, y, size, text in page.get("texts", []):
@@ -137,6 +145,7 @@ def build_tiny_pdf(
     creator: str | None = None,
     length_indirect: bool = False,
     stream_filter: str | None = None,
+    encrypt: bool = False,
 ) -> bytes:
     """pages: [{"texts": [(x, y, size, text)], "rects": [(x, y, w, h)],
     "lines": [(x0, y0, x1, y1)]}] -> PDF bytes.  One content stream per
@@ -159,6 +168,11 @@ def build_tiny_pdf(
                  'a85' (/ASCII85Decode), or the chain 'a85+flate'
                  ([/ASCII85Decode /FlateDecode] — the binary-safe
                  transport shape old mailers produced)
+      encrypt    RC4-40 standard security handler (V1 R2, EMPTY user
+                 and owner passwords — the 'encrypted but openable'
+                 shape): stream payloads and /Info strings RC4'd with
+                 per-object keys, /O //U //ID computed per ISO 32000
+                 §7.6.3 Algorithms 2-4
     """
     objs: list[bytes] = []  # 1-indexed object bodies
 
@@ -232,6 +246,36 @@ def build_tiny_pdf(
         objs.append(body + b" >>")
         info_obj = len(objs)
 
+    encrypt_obj = file_id = None
+    if encrypt:
+        import hashlib
+
+        file_id = hashlib.md5(b"pxid" + b"".join(objs)[:256]).digest()
+        o_entry = _owner_entry(b"", b"")
+        key = _file_key(b"", o_entry, -1, file_id)
+        u_entry = _user_entry(key)
+        enc = _PdfDecryptor(key)  # RC4 is symmetric
+        _ENDSTREAM = b"\nendstream"
+        for i, body in enumerate(objs, start=1):
+            m = re.search(rb"stream\r?\n", body)
+            if m and body.endswith(_ENDSTREAM):
+                payload = body[m.end():-len(_ENDSTREAM)]
+                objs[i - 1] = (body[:m.end()] + enc(i, 0, payload)
+                               + _ENDSTREAM)
+        if info_obj is not None:
+            body = b"<<"
+            if producer is not None:
+                body += (b" /Producer (" + _esc_bytes(
+                    enc(info_obj, 0, producer.encode("utf-8"))) + b")")
+            if creator is not None:
+                body += (b" /Creator (" + _esc_bytes(
+                    enc(info_obj, 0, creator.encode("utf-8"))) + b")")
+            objs[info_obj - 1] = body + b" >>"
+        objs.append(
+            b"<< /Filter /Standard /V 1 /R 2 /O (" + _esc_bytes(o_entry)
+            + b") /U (" + _esc_bytes(u_entry) + b") /P -1 >>")
+        encrypt_obj = len(objs)
+
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for i, body in enumerate(objs, start=1):
@@ -245,6 +289,10 @@ def build_tiny_pdf(
     trailer = b"<< /Size %d /Root 1 0 R" % (len(objs) + 1)
     if info_obj is not None:
         trailer += b" /Info %d 0 R" % info_obj
+    if encrypt_obj is not None:
+        hx = file_id.hex().encode("ascii")
+        trailer += (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                    % (encrypt_obj, hx, hx))
     out += (
         b"trailer\n%s >>\nstartxref\n%d\n%%%%EOF\n" % (trailer, xref_at)
     )
@@ -357,6 +405,156 @@ def build_pdf_cid(pages: list[dict], compress: bool = True,
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
             % (len(objs) + 1, xref_at))
     return bytes(out)
+
+
+# ------------------------------------------------- standard encryption
+
+# ISO 32000 §7.6.3.3 Algorithm 2 password padding constant
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (public algorithm; PDF standard security
+    handler, ISO 32000 §7.6.2)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + _PAD)[:32]
+
+
+def _file_key(password: bytes, o_entry: bytes, p: int, file_id: bytes,
+              n: int = 5, r: int = 2) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    import hashlib
+    import struct as _struct
+
+    h = hashlib.md5(
+        _pad_password(password) + o_entry
+        + _struct.pack("<i", p) + file_id).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _owner_entry(owner_pw: bytes, user_pw: bytes, n: int = 5,
+                 r: int = 2) -> bytes:
+    """Algorithm 3: the /O entry."""
+    import hashlib
+
+    h = hashlib.md5(_pad_password(owner_pw or user_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    o = _rc4(key, _pad_password(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _user_entry(file_key: bytes, r: int = 2) -> bytes:
+    """Algorithm 4 (R=2): the /U entry."""
+    return _rc4(file_key, _PAD)
+
+
+class _PdfDecryptor:
+    """Per-object RC4 decryption (Algorithm 1): object key =
+    MD5(file_key + objnum LE24 + gen LE16)[:min(n+5, 16)]."""
+
+    def __init__(self, file_key: bytes):
+        self.file_key = file_key
+
+    def __call__(self, num: int, gen: int, data: bytes) -> bytes:
+        import hashlib
+
+        k = hashlib.md5(
+            self.file_key + num.to_bytes(3, "little")
+            + gen.to_bytes(2, "little")).digest()
+        return _rc4(k[:min(len(self.file_key) + 5, 16)], data)
+
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+_OENTRY_RE = re.compile(rb"/O\s*\(((?:[^()\\]|\\.)*)\)", re.S)
+_UENTRY_RE = re.compile(rb"/U\s*\(((?:[^()\\]|\\.)*)\)", re.S)
+_PENTRY_RE = re.compile(rb"/P\s+(-?\d+)")
+_RENTRY_RE = re.compile(rb"/R\s+(\d+)")
+_KEYLEN_RE = re.compile(rb"/Length\s+(\d+)")
+
+
+def _unesc_bytes(raw: bytes) -> bytes:
+    """Literal-string unescape at the BYTE level (the /O and /U
+    entries are binary strings)."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        c = raw[i]
+        if c == 0x5C and i + 1 < len(raw):
+            nxt = raw[i + 1]
+            esc = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}
+            out.append(esc.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out)
+
+
+def _build_decryptor(data: bytes,
+                     objs: dict[int, bytes]) -> _PdfDecryptor | None:
+    """Detect a standard-security-handler /Encrypt dict and derive the
+    file key for the EMPTY user password (the overwhelmingly common
+    'encrypted but openable' shape).  Returns None for unencrypted
+    files; raises for password-protected or unsupported handlers —
+    the caller's repair ladder contains it as an error row."""
+    em = None
+    for m in _ENCRYPT_REF_RE.finditer(data):
+        em = m  # last trailer wins (incremental updates)
+    if em is None:
+        return None
+    enc = objs.get(int(em.group(1)))
+    if enc is None:
+        raise PdfParseError("dangling /Encrypt reference")
+    if b"/Standard" not in enc:
+        raise PdfParseError("unsupported security handler")
+    rm = _RENTRY_RE.search(enc)
+    r = int(rm.group(1)) if rm else 2
+    if r > 3:
+        raise PdfParseError(f"unsupported /Encrypt revision {r}")
+    km = _KEYLEN_RE.search(enc)
+    n = (int(km.group(1)) // 8) if km else 5
+    om, um, pm = (_OENTRY_RE.search(enc), _UENTRY_RE.search(enc),
+                  _PENTRY_RE.search(enc))
+    if not (om and um and pm):
+        raise PdfParseError("incomplete /Encrypt dictionary")
+    o_entry = _unesc_bytes(om.group(1))
+    u_entry = _unesc_bytes(um.group(1))
+    idm = _ID_RE.search(data)
+    file_id = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+    key = _file_key(b"", o_entry, int(pm.group(1)), file_id, n=n, r=r)
+    if r == 2 and _user_entry(key, r=2) != u_entry:
+        raise PdfParseError("password-protected pdf (empty user "
+                            "password rejected)")
+    return _PdfDecryptor(key)
 
 
 # ------------------------------------------------------------------ reader
@@ -689,7 +887,8 @@ def _parse_w_array(body: bytes) -> dict[int, int]:
 
 
 def _parse_type0_font(fobj: bytes, objs: dict[int, bytes], data: bytes,
-                      objstart: dict[int, int]) -> dict:
+                      objstart: dict[int, int],
+                      dec: "_PdfDecryptor | None" = None) -> dict:
     """Type0 font dict -> font info with cmap/dw/cid_widths resolved
     through the descendant CIDFont and the /ToUnicode stream."""
     f = {"base": None, "widths": None, "cmap": {}, "dw": 500,
@@ -711,6 +910,8 @@ def _parse_type0_font(fobj: bytes, objs: dict[int, bytes], data: bytes,
         if num in objstart:
             try:
                 head, payload = _stream_payload_at(data, objstart[num])
+                if dec is not None:
+                    payload = dec(num, 0, payload)
                 f["cmap"] = _parse_tounicode(_maybe_flate(head, payload))
             except PdfParseError:
                 pass  # unreadable CMap: CIDs fall back to U+FFFD
@@ -719,7 +920,8 @@ def _parse_type0_font(fobj: bytes, objs: dict[int, bytes], data: bytes,
 
 def _page_fonts(page: bytes, objs: dict[int, bytes],
                 data: bytes = b"",
-                objstart: dict[int, int] | None = None) -> dict[bytes, dict]:
+                objstart: dict[int, int] | None = None,
+                dec: "_PdfDecryptor | None" = None) -> dict[bytes, dict]:
     """Resolve the page's /Resources /Font name -> font-info map."""
     fonts: dict[bytes, dict] = {}
     fr = _FONTRES_RE.search(page)
@@ -729,7 +931,7 @@ def _page_fonts(page: bytes, objs: dict[int, bytes],
             if fobj is not None:
                 if b"/Type0" in fobj:
                     fonts[b"/" + m.group(1)] = _parse_type0_font(
-                        fobj, objs, data, objstart or {})
+                        fobj, objs, data, objstart or {}, dec)
                 else:
                     fonts[b"/" + m.group(1)] = _parse_font_dict(fobj)
     return fonts
@@ -742,7 +944,8 @@ _FIRST_RE = re.compile(rb"/First\s+(\d+)")
 
 
 def _expand_object_streams(data: bytes, objs: dict[int, bytes],
-                           objstart: dict[int, int]) -> None:
+                           objstart: dict[int, int],
+                           dec: "_PdfDecryptor | None" = None) -> None:
     """PDF 1.5 object streams (ISO 32000 §7.5.7): a /Type /ObjStm
     stream packs compressed non-stream objects — real writers put the
     catalog/page/font DICTS there, so the flat `N 0 obj` scan alone
@@ -759,6 +962,8 @@ def _expand_object_streams(data: bytes, objs: dict[int, bytes],
             continue
         try:
             h, payload = _stream_payload_at(data, objstart[num])
+            if dec is not None:
+                payload = dec(num, 0, payload)
             decoded = _maybe_flate(h, payload)
         except PdfParseError:
             continue  # damaged ObjStm: skip, lenient may still salvage
@@ -771,7 +976,8 @@ def _expand_object_streams(data: bytes, objs: dict[int, bytes],
 
 
 def _page_content(page: bytes, data: bytes,
-                  objstart: dict[int, int]) -> bytes:
+                  objstart: dict[int, int],
+                  dec: "_PdfDecryptor | None" = None) -> bytes:
     """Decoded content of one page: a single /Contents ref or a
     /Contents array (real writers split big pages into several
     streams; ISO 32000 §7.8.2 says the concatenation is the content)."""
@@ -788,6 +994,8 @@ def _page_content(page: bytes, data: bytes,
         if cnum not in objstart:
             raise PdfParseError("dangling /Contents reference")
         head, payload = _stream_payload_at(data, objstart[cnum])
+        if dec is not None:
+            payload = dec(cnum, 0, payload)  # decrypt BEFORE filters
         parts.append(_maybe_flate(head, payload))
     return b"\n".join(parts)
 
@@ -822,7 +1030,11 @@ def _content_streams_strict(data: bytes) -> list[tuple[bytes, dict]]:
         num = int(m.group(1))
         objs[num] = m.group(2)
         objstart[num] = m.start(2)
-    _expand_object_streams(data, objs, objstart)
+    # standard security handler: derive the empty-user-password key
+    # (raises for password-protected files — the caller surfaces an
+    # error row rather than falling into garbage-salvage)
+    dec = _build_decryptor(data, objs)
+    _expand_object_streams(data, objs, objstart, dec)
     pages_obj = next(
         (b for b in objs.values() if b"/Type /Pages" in b or b"/Type/Pages" in b),
         None,
@@ -837,8 +1049,8 @@ def _content_streams_strict(data: bytes) -> list[tuple[bytes, dict]]:
         page = objs.get(int(ref.group(1)))
         if page is None:
             raise PdfParseError("dangling /Kids reference")
-        streams.append((_page_content(page, data, objstart),
-                        _page_fonts(page, objs, data, objstart)))
+        streams.append((_page_content(page, data, objstart, dec),
+                        _page_fonts(page, objs, data, objstart, dec)))
     return streams
 
 
@@ -912,12 +1124,24 @@ def parse_pdf_info(data: bytes) -> dict:
     producer = creator = None
     im = _INFO_RE.search(data)
     if im:
-        info = objs.get(int(im.group(1)))
+        info_num = int(im.group(1))
+        info = objs.get(info_num)
         if info is not None:
-            pm = _INFOSTR_RE["producer"].search(info)
-            cm2 = _INFOSTR_RE["creator"].search(info)
-            producer = _unesc(pm.group(1)) if pm else None
-            creator = _unesc(cm2.group(1)) if cm2 else None
+            try:
+                dec = _build_decryptor(data, objs)
+            except PdfParseError:
+                dec = None  # metadata stays best-effort
+
+            def _info_str(m):
+                if m is None:
+                    return None
+                raw = _unesc_bytes(m.group(1))
+                if dec is not None:
+                    raw = dec(info_num, 0, raw)
+                return raw.decode("utf-8", errors="replace")
+
+            producer = _info_str(_INFOSTR_RE["producer"].search(info))
+            creator = _info_str(_INFOSTR_RE["creator"].search(info))
     return {"n_pages": n_pages, "producer": producer, "creator": creator}
 
 
@@ -1151,7 +1375,13 @@ def pdf_elements_from_bytes(data: bytes, doc_id: str,
     tree)."""
     try:
         streams = _content_streams_strict(data)
-    except PdfParseError:
+    except PdfParseError as e:
+        msg = str(e)
+        if "password" in msg or "security handler" in msg \
+                or "Encrypt" in msg:
+            # encrypted-but-unreadable: lenient 'recovery' would emit
+            # RC4 ciphertext as garbage rows — an error row is honest
+            raise
         streams = _content_streams_lenient(data)  # may raise: caller contains
 
     rows: list[dict] = []

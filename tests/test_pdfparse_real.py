@@ -434,3 +434,47 @@ def test_lzw_round_trip_property():
             _lzw_decode, _lzw_encode)
 
         assert _lzw_decode(_lzw_encode(data)) == data, n
+
+
+def test_rc4_encrypted_pdf_empty_password():
+    """Standard security handler (ISO 32000 §7.6, V1 R2 RC4-40) with
+    EMPTY user/owner passwords — the ubiquitous 'encrypted but
+    openable' shape: stream payloads and /Info strings are RC4'd with
+    per-object keys (Algorithms 1-4).  The reader derives the key,
+    verifies /U, decrypts BEFORE filters (incl. the LZW dialect), and
+    parses to the exact plain-dialect elements; a /U that rejects the
+    empty password is a contained error, never garbage salvage.  The
+    RC4 core matches public test vectors."""
+    from pydoxtools_spark.functions.pdfparse import _rc4
+
+    assert _rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+    assert _rc4(b"Wiki", b"pedia").hex().upper() == "1021BF0420"
+
+    base = pdf_elements_from_bytes(build_tiny_pdf(PAGES), "d")
+    for kw in ({}, {"compress": True}, {"compress": True, "use_tj": True},
+               {"stream_filter": "lzw"}):
+        enc = build_tiny_pdf(PAGES, encrypt=True, **kw)
+        assert b"/Encrypt" in enc and b"Doc X" not in enc, kw
+        assert pdf_elements_from_bytes(enc, "d") == base, kw
+        assert pdf_elements_from_bytes(enc, "d", emit_chars=True) \
+            == pdf_elements_from_bytes(build_tiny_pdf(PAGES), "d",
+                                       emit_chars=True), kw
+
+    enc = build_tiny_pdf(PAGES, encrypt=True, compress=True,
+                         producer="prod 2.0", creator="unit")
+    assert parse_pdf_info(enc) == {
+        "n_pages": 1, "producer": "prod 2.0", "creator": "unit"}
+
+    # wrong password: flip ONE /U byte IN PLACE (offsets intact) ->
+    # the U check rejects and the error surfaces instead of lenient
+    # salvaging RC4 ciphertext as garbage rows
+    i = enc.find(b"/U (") + len(b"/U (")
+    c = enc[i]
+    flip = c ^ 1
+    if flip in (0x5C, 0x28, 0x29, 0x0D) or c in (0x5C,):
+        flip = c ^ 2
+    bad = enc[:i] + bytes([flip]) + enc[i + 1:]
+    import pytest as _pytest
+
+    with _pytest.raises(PdfParseError, match="password"):
+        pdf_elements_from_bytes(bad, "d")
