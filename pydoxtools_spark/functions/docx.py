@@ -193,6 +193,34 @@ def _body_spans(body, rels):
     return spans
 
 
+def extract_docx_headers_footers(
+        data: bytes) -> list[tuple[str, str]]:
+    """Page headers/footers of a docx -> [(part, text)] where part is
+    'header' or 'footer' (r5; reference coverage comes free through
+    pandoc's docx reader, extract_pandoc.py:98-167).  Parses every
+    word/headerN.xml / word/footerN.xml part in name order with the
+    same run/whitespace canonicalization as the body; empty parts are
+    dropped.  These are PAGE FURNITURE, deliberately not body spans —
+    the page_template operator models the analogous per-page repeated
+    regions on the pdf side."""
+    if not is_docx(data):
+        raise DocxParseError("not a docx (PK magic / [Content_Types] probe)")
+    out: list[tuple[str, str]] = []
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        for name in sorted(z.namelist()):
+            m = re.fullmatch(r"word/(header|footer)\d+\.xml", name)
+            if not m:
+                continue
+            try:
+                root = ET.fromstring(z.read(name))
+            except ET.ParseError:
+                continue  # a broken furniture part never kills the doc
+            text = norm_ws(_runs_text(root))
+            if text:
+                out.append((m.group(1), text))
+    return out
+
+
 _MEDIA_PREFIXES = ("word/media/", "Pictures/", "OEBPS/images/",
                    "OEBPS/Images/", "images/")
 
@@ -261,7 +289,9 @@ def _p(text: str, style: str | None = None, num: int | None = None) -> str:
             "</w:t></w:r></w:p>")
 
 
-def build_tiny_docx(blocks: list[tuple]) -> bytes:
+def build_tiny_docx(blocks: list[tuple],
+                    header_text: str | None = None,
+                    footer_text: str | None = None) -> bytes:
     """blocks -> deterministic docx bytes.  Block forms:
       ("header", text, level)   ("text", text)
       ("list", [items])         ("table", [[cells]])
@@ -269,6 +299,9 @@ def build_tiny_docx(blocks: list[tuple]) -> bytes:
       ("image", target, bytes)  embeds a REAL payload at word/<target>
                                 (e.g. a build_bmp raster), extractable
                                 via extract_container_media
+    header_text / footer_text write word/header1.xml / footer1.xml
+    parts (sectPr-referenced page furniture, read back via
+    extract_docx_headers_footers).
     """
     body: list[str] = []
     images: list[str] = []
@@ -307,13 +340,38 @@ def build_tiny_docx(blocks: list[tuple]) -> bytes:
         else:
             raise ValueError(f"unknown block kind: {kind}")
 
+    # page-furniture parts (sectPr-referenced, ECMA-376 §17.10)
+    furniture: list[tuple[str, str]] = []
+    furniture_rels = ""
+    sect_refs = ""
+    if header_text is not None:
+        furniture.append(("word/header1.xml", (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<w:hdr xmlns:w="{W}">{_p(header_text)}</w:hdr>')))
+        furniture_rels += (
+            f'<Relationship Id="rIdH" Type="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships/header" '
+            'Target="header1.xml"/>')
+        sect_refs += '<w:headerReference w:type="default" r:id="rIdH"/>'
+    if footer_text is not None:
+        furniture.append(("word/footer1.xml", (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<w:ftr xmlns:w="{W}">{_p(footer_text)}</w:ftr>')))
+        furniture_rels += (
+            f'<Relationship Id="rIdF" Type="http://schemas.'
+            'openxmlformats.org/officeDocument/2006/relationships/footer" '
+            'Target="footer1.xml"/>')
+        sect_refs += '<w:footerReference w:type="default" r:id="rIdF"/>'
+    sect_pr = f"<w:sectPr>{sect_refs}</w:sectPr>" if sect_refs \
+        else "<w:sectPr/>"
+
     document = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<w:document xmlns:w="{W}" xmlns:a="{A}" xmlns:r="{R}" '
         'xmlns:wp="http://schemas.openxmlformats.org/drawingml/2006/'
         'wordprocessingDrawing" '
         'xmlns:pic="http://schemas.openxmlformats.org/drawingml/2006/picture">'
-        f"<w:body>{''.join(body)}<w:sectPr/></w:body></w:document>"
+        f"<w:body>{''.join(body)}{sect_pr}</w:body></w:document>"
     )
     rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -324,6 +382,7 @@ def build_tiny_docx(blocks: list[tuple]) -> bytes:
             f'Target="{t}"/>'
             for i, t in enumerate(images)
         )
+        + furniture_rels
         + "</Relationships>"
     )
     content_types = (
@@ -355,8 +414,9 @@ def build_tiny_docx(blocks: list[tuple]) -> bytes:
             ("_rels/.rels", root_rels),
             ("word/document.xml", document),
             ("word/_rels/document.xml.rels", rels),
-        ] + [(f"word/{t}", payloads.get(t, f"png-placeholder-{t}"))
-             for t in dict.fromkeys(images)]:  # dedupe repeated targets
+        ] + furniture \
+            + [(f"word/{t}", payloads.get(t, f"png-placeholder-{t}"))
+               for t in dict.fromkeys(images)]:  # dedupe repeated targets
             zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
             z.writestr(zi, payload)
     return buf.getvalue()

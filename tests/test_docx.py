@@ -464,3 +464,33 @@ def test_docx_embedded_media_to_features(spark):
     ).collect()
     assert [(f["width"], f["height"], f["decode_error"]) for f in feats] == [
         (6, 4, None)]
+
+
+def test_docx_page_headers_footers():
+    """Page furniture (word/headerN.xml / footerN.xml, sectPr-
+    referenced): extracted as (part, text) pairs with the body's
+    whitespace canonicalization, kept out of the body span stream (the
+    page_template analogue on the container side); broken furniture
+    parts never kill the doc."""
+    import zipfile as _zf
+    import io as _io
+
+    from pydoxtools_spark.functions.docx import (
+        extract_docx_headers_footers, extract_docx_spans)
+
+    d = build_tiny_docx(BLOCKS, header_text="ACME  Quarterly",
+                        footer_text="page 1 of 99")
+    assert extract_docx_spans(d) == extract_docx_spans(
+        build_tiny_docx(BLOCKS))  # body spans unchanged
+    assert extract_docx_headers_footers(d) == [
+        ("footer", "page 1 of 99"), ("header", "ACME Quarterly")]
+    assert b"headerReference" in d and b"footerReference" in d
+    # a corrupt header part is skipped, not fatal
+    buf = _io.BytesIO()
+    with _zf.ZipFile(_io.BytesIO(d)) as zin, \
+            _zf.ZipFile(buf, "w") as zout:
+        for n in zin.namelist():
+            zout.writestr(n, b"<broken" if n == "word/header1.xml"
+                          else zin.read(n))
+    assert extract_docx_headers_footers(buf.getvalue()) == [
+        ("footer", "page 1 of 99")]
