@@ -663,7 +663,11 @@ def q_pdf_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 data = build_tiny_pdf(
                     pages, compress=True,
                     producer="pydoxtools_spark 0.4",
-                    creator=f"gen-{int(doc_id) % 5}")
+                    creator=f"gen-{int(doc_id) % 5}",
+                    # r5: every 4th doc RC4-encrypted — /Info strings
+                    # and the /Pages walk must decrypt (oracle
+                    # unchanged: plaintext metadata either way)
+                    encrypt=(int(doc_id) % 4 == 1))
                 rows.append((str(doc_id), data))
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
 

@@ -33,6 +33,17 @@ Real-world subset (round 4): /Filter /FlateDecode content streams
 glyph advances resolved from (a) an embedded /Widths + /FirstChar
 array, else (b) the published standard-14 AFM width tables for the
 Courier and Times families, else (c) the legacy 0.5-em heuristic.
+
+Round-5 ring: indirect `/Length N 0 R` resolution; Type0/CID
+composite fonts (Identity-H hex-string CIDs through /ToUnicode CMaps,
+/W//DW advances — build_pdf_cid writer twin); LZWDecode (spec-example
+exact), ASCIIHexDecode, ASCII85Decode and declared-order filter
+CHAINS; the RC4 standard security handler for empty-user-password
+encrypted files (per-object keys, decrypt-before-filters, /U
+verification — password-protected files error instead of salvaging
+ciphertext).  Still plug-in territory: DCT/JBIG2/CCITT image codecs,
+AES (R4+) encryption, vertical/rotated text (the reference pins
+detect_vertical=False, pdf_utils.py:201).
 The HELVETICA dialect deliberately stays on the 0.5-em heuristic when
 no /Widths array is present: the entire fixture/oracle geometry
 (goldens-by-construction, the hand-derived bbox constants in the
