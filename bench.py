@@ -38,6 +38,10 @@ HEADLINE = [
     "pdf_bytes",              # raw-bytes parse + repair ladder + layout (r2)
                               #   (Flate+TJ + rotating PDF 1.5 since r4)
     "pdf_render",             # box-level page rasterization (r4)
+    "blob_routing",           # magic/zip/text ingestion dispatch (r5)
+                              # (ocr_glyphs stays out of the suite: 5000
+                              # scale-2 glyph rasters ~2 min at sf0.1;
+                              # the sf0.01 driver sweep covers it)
     "pdf_table_chars",        # bytes -> chars -> sweep-line -> frozen tree (r3)
     "doc_type_dispatch",
     "exact_dedup",
@@ -352,9 +356,10 @@ def scaling_evidence(n_docs: int | None = None, lo=2, hi=8,
     the scale points, so a judge could not normalize it post hoc).
     Every rep now runs the serial canary immediately BEFORE and AFTER
     its timed pipeline inside the same subprocess; the rep's time is
-    divided by its own bracketing drift factor (mean of the two
-    canaries / SERIAL_CANARY_BASELINE_SEC, which cancels in the
-    ratio).  `efficiency` is computed from the normalized times —
+    divided by its own bracketing drift factor (MIN of the two
+    canaries / SERIAL_CANARY_BASELINE_SEC — min, not mean: a one-off
+    canary spike must not poison the factor; the baseline cancels in
+    the ratio).  `efficiency` is computed from the normalized times —
     the drift-corrected number the gate reads; `efficiency_raw` keeps
     the uncorrected ratio for comparison."""
     n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_BENCH_NDOCS", "96000"))
@@ -390,6 +395,9 @@ def scaling_evidence(n_docs: int | None = None, lo=2, hi=8,
         los.append(_scale_point_subprocess(lo, shuffle, corpus_dir))
     lo_pt = min(los, key=lambda r: r["sec_norm"])
     hi_pt = min(his, key=lambda r: r["sec_norm"])
+    # report raw efficiency from the SAME chosen reps so t_*_sec,
+    # efficiency and efficiency_raw describe one consistent pair
+    eff_raw = round((lo_pt["sec"] / hi_pt["sec"]) / ratio, 3)
     return {"cores_lo": lo, "t_lo_sec": lo_pt["sec"],
             "t_lo_norm_sec": lo_pt["sec_norm"],
             "canary_lo": {"before_sec": lo_pt["canary_before_sec"],
@@ -404,7 +412,7 @@ def scaling_evidence(n_docs: int | None = None, lo=2, hi=8,
             "docs": hi_pt["docs"],
             "docs_per_sec_hi": hi_pt["docs_per_sec"],
             "hi_reps": len(his), "lo_reps": len(los),
-            "efficiency_raw": round(_eff("sec"), 3),
+            "efficiency_raw": eff_raw,
             "efficiency": round(_eff(), 3)}
 
 
@@ -458,8 +466,14 @@ def run_scale_point(cores: int, shuffle: int, corpus_dir: str) -> dict:
     res = _run_pipeline(spark, corpus_dir, shuffle, "/tmp/px_bench_out")
     c_after = _serial_canary(spark)
     spark.stop()
+    # MIN of the two bracketing canaries: a sustained slow window
+    # (the thing normalization exists for) raises BOTH; a one-off
+    # spike in a single canary (measured: 3.64 s right after the
+    # page-cache prewarm vs 1.38 s after the run — writeback/GC
+    # transient) must not poison the factor (mean-of-two turned a
+    # 0.85-class run into a reported 0.47 efficiency).
     drift = round(
-        ((c_before + c_after) / 2) / SERIAL_CANARY_BASELINE_SEC, 4)
+        min(c_before, c_after) / SERIAL_CANARY_BASELINE_SEC, 4)
     res.update({
         "canary_before_sec": c_before, "canary_after_sec": c_after,
         "drift": drift, "sec_norm": round(res["sec"] / drift, 3),
