@@ -1707,6 +1707,55 @@ def q_blob_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_container_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded container media end-to-end (r4 verdict item 6; the
+    reference extracts docx media via pandoc, extract_pandoc.py:98-167):
+    per doc a docx embedding a solid-color BMP of analytically known
+    size/color -> container_media_blobs surfaces the bytes ->
+    media_features REALLY decodes them.  The oracle recomputes
+    width/height, the exact BMP byte size (54-byte headers + padded
+    rows) and the integer luminance mean from the generating
+    parameters — decode-correct or hash-mismatch."""
+    from pydoxtools_spark.operators.multimodal import media_features
+    from pydoxtools_spark.pipeline import container_media_blobs
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_blobs(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pydoxtools_spark.functions.docx import build_tiny_docx
+        from pydoxtools_spark.functions.media import build_bmp
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w, h = 4 + i % 5, 3 + i % 3
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :] = (i % 200, 100, 50)
+                docx = build_tiny_docx([
+                    ("header", f"Doc {i}", 1),
+                    ("image", "media/img1.bmp", build_bmp(px)),
+                    ("text", f"body {i}"),
+                ])
+                rows.append((str(i), docx))
+            yield pd.DataFrame(rows, columns=["ref", "content"])
+
+    blobs = d.repartition(32).mapInPandas(
+        gen_blobs, "ref string, content binary")
+    media = container_media_blobs(blobs)
+    feats = media_features(media.filter(F.col("error").isNull()).select(
+        "media_ref", F.lit("image").alias("media_type"), "content",
+        F.lit(None).cast("map<string,string>").alias("meta")))
+    return feats.select(
+        F.split(F.col("media_ref"), "#")[0].cast("bigint").alias("doc_id"),
+        F.split(F.col("media_ref"), "#")[1].alias("target"),
+        "width", "height", "mean_level", "n_bytes",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-contract queries.  ORDER MATTERS: the driver records
     correctness rows for the FIRST ~50 dict entries per round (time/
@@ -1739,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (must-record)
         "ocr_glyphs": q_ocr_glyphs,
         "blob_routing": q_blob_routing,
+        "container_media": q_container_media,
         "minhash_fast": q_minhash_fast,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "minhash_signature": q_minhash_signature,
@@ -1782,8 +1832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "meta_merge": q_meta_merge,
         "text_pieces": q_text_pieces,
-        "entities": q_entities,
         # ---- window A: r4-green, parked this round ----
+        "entities": q_entities,
         "text_block_class": q_text_block_class,
         "page_class": q_page_class,
         "exploded_words": q_exploded_words,
@@ -3018,6 +3068,17 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT doc_id, 0, 1, rtrim(substr(t, 1, 40))
     FROM d WHERE length(rtrim(substr(t, 1, 40))) > 0
+    """,
+        "container_media": """
+    SELECT doc_id,
+           'media/img1.bmp' AS target,
+           4 + doc_id % 5 AS width,
+           3 + doc_id % 3 AS height,
+           (299 * (doc_id % 200) + 587 * 100 + 114 * 50) // 1000
+             AS mean_level,
+           54 + ((3 * (4 + doc_id % 5) + 3) // 4 * 4)
+              * (3 + doc_id % 3) AS n_bytes
+    FROM documents
     """,
         "blob_routing": """
     SELECT doc_id,
