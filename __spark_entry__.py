@@ -238,7 +238,10 @@ def q_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
                         elif int(doc_id) % 9 == 6:
                             sf = "a85+flate"
                         elif int(doc_id) % 9 == 3:
-                            ec = True
+                            # AESV2 (R4): MD5 object keys + AES-CBC
+                            # payloads; aes256/R6 stays pytest-only
+                            # (pure-python KDF ~0.4 s/doc)
+                            ec = "aesv2"
                     data = build_tiny_pdf(pages, compress=True,
                                           use_tj=True, stream_filter=sf,
                                           encrypt=ec)

@@ -261,30 +261,80 @@ def build_tiny_pdf(
     if encrypt:
         import hashlib
 
+        method = "rc4" if encrypt is True else str(encrypt)
+        if length_indirect:
+            raise ValueError("encrypt + length_indirect unsupported "
+                             "(AES changes stream lengths)")
         file_id = hashlib.md5(b"pxid" + b"".join(objs)[:256]).digest()
-        o_entry = _owner_entry(b"", b"")
-        key = _file_key(b"", o_entry, -1, file_id)
-        u_entry = _user_entry(key)
-        enc = _PdfDecryptor(key)  # RC4 is symmetric
+        if method == "rc4":
+            o_entry = _owner_entry(b"", b"")
+            key = _file_key(b"", o_entry, -1, file_id)
+            enc_dict = (
+                b"<< /Filter /Standard /V 1 /R 2 /O ("
+                + _esc_bytes(o_entry) + b") /U ("
+                + _esc_bytes(_user_entry(key)) + b") /P -1 >>")
+            enc = _PdfDecryptor(key)
+        elif method == "aesv2":
+            o_entry = _owner_entry(b"", b"", n=16, r=4)
+            key = _file_key(b"", o_entry, -1, file_id, n=16, r=4)
+            u_entry = _user_entry_r34(key, file_id) + b"\x00" * 16
+            enc_dict = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+                b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                b" /StmF /StdCF /StrF /StdCF /O ("
+                + _esc_bytes(o_entry) + b") /U ("
+                + _esc_bytes(u_entry) + b") /P -1 >>")
+            enc = _PdfDecryptor(key, "aesv2")
+        elif method == "aes256":
+            from .aescore import aes_encrypt_block, cbc_encrypt
+
+            key = (hashlib.md5(file_id).digest()
+                   + hashlib.md5(file_id + b"2").digest())
+            vs = hashlib.md5(b"vs" + file_id).digest()[:8]
+            ks = hashlib.md5(b"ks" + file_id).digest()[:8]
+            u_entry = _hash_2b(b"", vs) + vs + ks
+            ue_entry = cbc_encrypt(_hash_2b(b"", ks), b"\x00" * 16, key)
+            ovs = hashlib.md5(b"ovs" + file_id).digest()[:8]
+            oks = hashlib.md5(b"oks" + file_id).digest()[:8]
+            o_entry = _hash_2b(b"", ovs, u_entry) + ovs + oks
+            oe_entry = cbc_encrypt(_hash_2b(b"", oks, u_entry),
+                                   b"\x00" * 16, key)
+            perms = aes_encrypt_block(
+                key, (-1).to_bytes(4, "little", signed=True)
+                + b"\xff\xff\xff\xff" + b"Tadb" + file_id[:4])
+            enc_dict = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+                b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                b" /StmF /StdCF /StrF /StdCF /O ("
+                + _esc_bytes(o_entry) + b") /U ("
+                + _esc_bytes(u_entry) + b") /OE ("
+                + _esc_bytes(oe_entry) + b") /UE ("
+                + _esc_bytes(ue_entry) + b") /Perms ("
+                + _esc_bytes(perms) + b") /P -1 >>")
+            enc = _PdfDecryptor(key, "aesv3")
+        else:
+            raise ValueError(f"unknown encrypt method: {encrypt}")
+
         _ENDSTREAM = b"\nendstream"
         for i, body in enumerate(objs, start=1):
             m = re.search(rb"stream\r?\n", body)
             if m and body.endswith(_ENDSTREAM):
                 payload = body[m.end():-len(_ENDSTREAM)]
-                objs[i - 1] = (body[:m.end()] + enc(i, 0, payload)
-                               + _ENDSTREAM)
+                ct = enc.encrypt(i, 0, payload)
+                head = re.sub(
+                    rb"/Length\s+\d+", b"/Length %d" % len(ct),
+                    body[:m.end()], count=1)  # AES pads: fix /Length
+                objs[i - 1] = head + ct + _ENDSTREAM
         if info_obj is not None:
             body = b"<<"
             if producer is not None:
-                body += (b" /Producer (" + _esc_bytes(
-                    enc(info_obj, 0, producer.encode("utf-8"))) + b")")
+                body += (b" /Producer (" + _esc_bytes(enc.encrypt(
+                    info_obj, 0, producer.encode("utf-8"))) + b")")
             if creator is not None:
-                body += (b" /Creator (" + _esc_bytes(
-                    enc(info_obj, 0, creator.encode("utf-8"))) + b")")
+                body += (b" /Creator (" + _esc_bytes(enc.encrypt(
+                    info_obj, 0, creator.encode("utf-8"))) + b")")
             objs[info_obj - 1] = body + b" >>"
-        objs.append(
-            b"<< /Filter /Standard /V 1 /R 2 /O (" + _esc_bytes(o_entry)
-            + b") /U (" + _esc_bytes(u_entry) + b") /P -1 >>")
+        objs.append(enc_dict)
         encrypt_obj = len(objs)
 
     out = bytearray(b"%PDF-1.4\n")
@@ -487,28 +537,103 @@ def _user_entry(file_key: bytes, r: int = 2) -> bytes:
     return _rc4(file_key, _PAD)
 
 
+def _user_entry_r34(file_key: bytes, file_id: bytes) -> bytes:
+    """Algorithm 5 (R=3/4): MD5(PAD + ID[0]) RC4'd with the file key,
+    then 19 more passes with key XOR i; only the first 16 bytes are
+    compared (the rest is arbitrary padding)."""
+    import hashlib
+
+    u = _rc4(file_key, hashlib.md5(_PAD + file_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u
+
+
+def _hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 KDF): SHA-256 seed, then
+    rounds of AES-128-CBC over 64 repetitions of (pw + K + udata) with
+    a data-dependent SHA-256/384/512 pick, until round >= 64 and the
+    last cipher byte <= round - 32."""
+    import hashlib
+
+    from .aescore import cbc_encrypt
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _strip_pkcs7(data: bytes) -> bytes:
+    if not data:
+        return data
+    n = data[-1]
+    if not 1 <= n <= 16 or len(data) < n:
+        raise PdfParseError("bad AES padding")
+    return data[:-n]
+
+
 class _PdfDecryptor:
-    """Per-object RC4 decryption (Algorithm 1): object key =
-    MD5(file_key + objnum LE24 + gen LE16)[:min(n+5, 16)]."""
+    """Per-object decryption (ISO 32000 §7.6.2 Algorithm 1 /
+    §7.6.3.3): method 'rc4' and 'aesv2' derive MD5 object keys
+    (AESV2 appends the spec's sAlT suffix); 'aesv3' (R6) uses the
+    32-byte file key directly.  AES payloads carry a 16-byte IV
+    prefix and PKCS#7 padding.  encrypt() is the writer twin (RC4 is
+    symmetric; AES uses a deterministic per-object IV so fixtures are
+    byte-stable)."""
 
-    def __init__(self, file_key: bytes):
+    def __init__(self, file_key: bytes, method: str = "rc4"):
         self.file_key = file_key
+        self.method = method
 
-    def __call__(self, num: int, gen: int, data: bytes) -> bytes:
+    def _obj_key(self, num: int, gen: int) -> bytes:
         import hashlib
 
+        suffix = b"sAlT" if self.method == "aesv2" else b""
         k = hashlib.md5(
             self.file_key + num.to_bytes(3, "little")
-            + gen.to_bytes(2, "little")).digest()
-        return _rc4(k[:min(len(self.file_key) + 5, 16)], data)
+            + gen.to_bytes(2, "little") + suffix).digest()
+        return k[:min(len(self.file_key) + 5, 16)]
+
+    def __call__(self, num: int, gen: int, data: bytes) -> bytes:
+        if self.method == "rc4":
+            return _rc4(self._obj_key(num, gen), data)
+        from .aescore import cbc_decrypt
+
+        key = (self.file_key if self.method == "aesv3"
+               else self._obj_key(num, gen))
+        if len(data) < 16 or len(data) % 16:
+            raise PdfParseError("bad AES stream length")
+        return _strip_pkcs7(cbc_decrypt(key, data[:16], data[16:]))
+
+    def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        if self.method == "rc4":
+            return _rc4(self._obj_key(num, gen), data)
+        import hashlib
+
+        from .aescore import cbc_encrypt
+
+        key = (self.file_key if self.method == "aesv3"
+               else self._obj_key(num, gen))
+        iv = hashlib.md5(b"iv%d:%d" % (num, gen)).digest()
+        pad = 16 - len(data) % 16
+        return iv + cbc_encrypt(key, iv, data + bytes([pad]) * pad)
 
 
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
 _ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
 _OENTRY_RE = re.compile(rb"/O\s*\(((?:[^()\\]|\\.)*)\)", re.S)
 _UENTRY_RE = re.compile(rb"/U\s*\(((?:[^()\\]|\\.)*)\)", re.S)
+_UEENTRY_RE = re.compile(rb"/UE\s*\(((?:[^()\\]|\\.)*)\)", re.S)
 _PENTRY_RE = re.compile(rb"/P\s+(-?\d+)")
 _RENTRY_RE = re.compile(rb"/R\s+(\d+)")
+_VENTRY_RE = re.compile(rb"/V\s+(\d+)")
 _KEYLEN_RE = re.compile(rb"/Length\s+(\d+)")
 
 
@@ -549,10 +674,34 @@ def _build_decryptor(data: bytes,
         raise PdfParseError("unsupported security handler")
     rm = _RENTRY_RE.search(enc)
     r = int(rm.group(1)) if rm else 2
-    if r > 3:
+    vm = _VENTRY_RE.search(enc)
+    v = int(vm.group(1)) if vm else 1
+
+    if v >= 5 or r >= 5:
+        # AESV3 / R6 (the modern AES-256 shape): U = hash(32) +
+        # validation salt(8) + key salt(8); the file key is /UE
+        # decrypted with the key-salt 2.B hash
+        um, uem = _UENTRY_RE.search(enc), _UEENTRY_RE.search(enc)
+        if not (um and uem):
+            raise PdfParseError("incomplete /Encrypt dictionary (V5)")
+        u_entry = _unesc_bytes(um.group(1))
+        ue_entry = _unesc_bytes(uem.group(1))
+        if len(u_entry) < 48 or len(ue_entry) < 32:
+            raise PdfParseError("malformed V5 /U //UE entries")
+        if _hash_2b(b"", u_entry[32:40]) != u_entry[:32]:
+            raise PdfParseError("password-protected pdf (empty user "
+                                "password rejected)")
+        from .aescore import cbc_decrypt
+
+        key = cbc_decrypt(_hash_2b(b"", u_entry[40:48]),
+                          b"\x00" * 16, ue_entry[:32])
+        return _PdfDecryptor(key, "aesv3")
+
+    if r > 4:
         raise PdfParseError(f"unsupported /Encrypt revision {r}")
     km = _KEYLEN_RE.search(enc)
-    n = (int(km.group(1)) // 8) if km else 5
+    bits = int(km.group(1)) if km else 40
+    n = bits // 8 if bits >= 40 else bits  # CF /Length is in BYTES
     om, um, pm = (_OENTRY_RE.search(enc), _UENTRY_RE.search(enc),
                   _PENTRY_RE.search(enc))
     if not (om and um and pm):
@@ -565,7 +714,11 @@ def _build_decryptor(data: bytes,
     if r == 2 and _user_entry(key, r=2) != u_entry:
         raise PdfParseError("password-protected pdf (empty user "
                             "password rejected)")
-    return _PdfDecryptor(key)
+    if r in (3, 4) and _user_entry_r34(key, file_id)[:16] != u_entry[:16]:
+        raise PdfParseError("password-protected pdf (empty user "
+                            "password rejected)")
+    method = "aesv2" if b"/AESV2" in enc else "rc4"
+    return _PdfDecryptor(key, method)
 
 
 # ------------------------------------------------------------------ reader
