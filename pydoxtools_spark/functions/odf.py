@@ -160,6 +160,7 @@ def build_tiny_odt(blocks: list[tuple]) -> bytes:
     """Same block forms as functions/docx.build_tiny_docx ->
     deterministic ODT bytes."""
     body: list[str] = []
+    payloads: dict[str, bytes] = {}
     for blk in blocks:
         kind = blk[0]
         if kind == "header":
@@ -181,6 +182,8 @@ def build_tiny_odt(blocks: list[tuple]) -> bytes:
                 for row in blk[1])
             body.append(f"<table:table>{rows}</table:table>")
         elif kind == "image":
+            if len(blk) > 2:
+                payloads[blk[1]] = blk[2]  # real bytes at the target
             body.append(
                 '<text:p><draw:frame><draw:image '
                 f'xlink:href="{blk[1]}"/></draw:frame></text:p>')
@@ -199,7 +202,7 @@ def build_tiny_odt(blocks: list[tuple]) -> bytes:
         for name, payload in [
             ("mimetype", "application/vnd.oasis.opendocument.text"),
             ("content.xml", content),
-        ]:
+        ] + sorted(payloads.items()):
             zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
             z.writestr(zi, payload)
     return buf.getvalue()

@@ -494,3 +494,22 @@ def test_docx_page_headers_footers():
                           else zin.read(n))
     assert extract_docx_headers_footers(buf.getvalue()) == [
         ("footer", "page 1 of 99")]
+
+
+def test_odt_embedded_media_extraction():
+    """odt parity for embedded media: Pictures/ payloads written by
+    build_tiny_odt surface through the same extract_container_media /
+    media pipeline the docx side uses."""
+    import numpy as np
+
+    from pydoxtools_spark.functions.docx import extract_container_media
+    from pydoxtools_spark.functions.media import build_bmp, parse_bmp
+    from pydoxtools_spark.functions.odf import build_tiny_odt
+
+    px = np.full((5, 7, 3), 80, dtype=np.uint8)
+    odt = build_tiny_odt([("text", "hello"),
+                          ("image", "Pictures/img1.bmp", build_bmp(px))])
+    media = extract_container_media(odt)
+    assert [t for t, _b in media] == ["Pictures/img1.bmp"]
+    w, h, back = parse_bmp(media[0][1])
+    assert (w, h) == (7, 5) and (back == px).all()
