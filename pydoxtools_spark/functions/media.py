@@ -49,20 +49,20 @@ def bmp_size(width: int, height: int) -> int:
 
 
 def build_bmp(pixels: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 RGB array -> BMP bytes (bottom-up, BGR)."""
+    """(h, w, 3) uint8 RGB array -> BMP bytes (bottom-up, BGR).
+    Vectorized: the original per-pixel python loop was 99% of the
+    pdf_render kernel's cost (36M generator calls for 300 pages —
+    profiled r5); one strided numpy assignment emits the same bytes."""
     h, w = pixels.shape[0], pixels.shape[1]
     stride = _row_stride(w)
-    body = bytearray()
-    for y in range(h - 1, -1, -1):          # bottom-up row order
-        row = bytearray()
-        for x in range(w):
-            r, g, b = (int(v) for v in pixels[y, x])
-            row += bytes((b, g, r))         # BGR on disk
-        row += b"\x00" * (stride - len(row))
-        body += row
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up row order + RGB -> BGR channel flip, zero row padding
+    rows[:, : 3 * w] = np.ascontiguousarray(
+        pixels[::-1, :, ::-1]).reshape(h, 3 * w)
+    body = rows.tobytes()
     info = _BMP_INFO.pack(40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     head = _BMP_HEADER.pack(b"BM", 54 + len(body), 0, 0, 54)
-    return head + info + bytes(body)
+    return head + info + body
 
 
 def parse_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
