@@ -1608,7 +1608,7 @@ def q_ocr_glyphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Glyph-level raster OCR loop (r4 verdict item 3; reference chain
     document.py:320-355 pdf -> image -> tesseract -> text): per-doc
     PDFs whose title + body headline render through the decodable
-    block FONT (functions/glyphfont.py) at scale 2.0, then the
+    block FONT (functions/glyphfont.py) at scale 1.0, then the
     analytic OCR (ocr_glyph_decode) recovers the TEXT from the BMP
     pixels alone.  The oracle reconstructs the expected lines from
     documents.text with the same printable-ASCII/whitespace
@@ -1648,7 +1648,10 @@ def q_ocr_glyphs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = d.repartition(32).mapInPandas(
         gen_blobs, "doc_id string, content binary")
-    rast = render_pdf_pages(blobs, scale=2.0, glyphs=True,
+    # scale 1.0 is the smallest exact glyph geometry for 12 pt text
+    # (6x12 cells, even height, shared-rounding block edges verified
+    # down to 1px blocks) — quarter the raster bytes of scale 2.0
+    rast = render_pdf_pages(blobs, scale=1.0, glyphs=True,
                             crop_top_pt=80.0)
     return ocr_glyph_decode(rast).filter(F.col("error").isNull()).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
