@@ -242,9 +242,13 @@ def q_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
                             # payloads; aes256/R6 stays pytest-only
                             # (pure-python KDF ~0.4 s/doc)
                             ec = "aesv2"
-                    data = build_tiny_pdf(pages, compress=True,
-                                          use_tj=True, stream_filter=sf,
-                                          encrypt=ec)
+                    data = build_tiny_pdf(
+                        pages, compress=True, use_tj=True,
+                        stream_filter=sf, encrypt=ec,
+                        # r5: half the classic docs put the font size
+                        # in the text MATRIX (Tf 1 + diagonal Tm) —
+                        # layout identical, oracle unchanged
+                        tm_scaled=(int(doc_id) % 2 == 0))
                 if int(doc_id) % 5 == 0:
                     # damaged: repair rung must recover (and now also
                     # zlib-sniff the compressed stream blobs)

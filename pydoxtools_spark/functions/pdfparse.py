@@ -124,10 +124,17 @@ def _esc_bytes(b: bytes) -> bytes:
             .replace(b")", b"\\)").replace(b"\r", b"\\r"))
 
 
-def _render_page_content(page: dict, use_tj: bool) -> bytes:
+def _render_page_content(page: dict, use_tj: bool,
+                         tm_scaled: bool = False) -> bytes:
     content = bytearray()
     for x, y, size, text in page.get("texts", []):
-        content += b"BT /F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm " % (size, x, y)
+        if tm_scaled:
+            # the generator idiom where the font size lives in the
+            # text MATRIX: Tf 1 + a diagonal scale in Tm
+            content += (b"BT /F1 1.00 Tf %.2f 0 0 %.2f %.2f %.2f Tm "
+                        % (size, size, x, y))
+        else:
+            content += b"BT /F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm " % (size, x, y)
         if use_tj:
             mid = text.find(" ", len(text) // 2)
             segs = [text] if mid < 0 else [text[:mid], text[mid:]]
@@ -157,6 +164,7 @@ def build_tiny_pdf(
     length_indirect: bool = False,
     stream_filter: str | None = None,
     encrypt: bool = False,
+    tm_scaled: bool = False,
 ) -> bytes:
     """pages: [{"texts": [(x, y, size, text)], "rects": [(x, y, w, h)],
     "lines": [(x0, y0, x1, y1)]}] -> PDF bytes.  One content stream per
@@ -196,7 +204,7 @@ def build_tiny_pdf(
     font_obj = 3 + 2 * n_pages
     stream_lengths: list[int] = []
     for i, page in enumerate(pages):
-        content = bytearray(_render_page_content(page, use_tj))
+        content = bytearray(_render_page_content(page, use_tj, tm_scaled))
         filt = b""
         if stream_filter == "lzw":
             content = bytearray(_lzw_encode(bytes(content)))
@@ -1369,6 +1377,12 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
     size = 12.0
     cur_font: dict = {}
     leading = 0.0  # /TL text leading (TL, TD set it; T* / ' use it)
+    # diagonal text-matrix scale (the `12 0 0 12 x y Tm` + `Tf 1`
+    # idiom LaTeX-era generators emit: font size lives in the MATRIX).
+    # Rotated/sheared matrices stay outside the subset (the reference
+    # pins detect_vertical=False): positions are still honored, scale
+    # falls back to 1.
+    tm_sx = tm_sy = 1.0
     tx = ty = 0.0
     lx = ly = 0.0  # text line start (for Td/TD)
     cur_x = cur_y = 0.0  # path current point
@@ -1415,23 +1429,27 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
         nonlocal tx
         if not s:
             return
+        eff = size * tm_sy  # rendered glyph height
         if adv is None:
-            adv = [glyph_width(ch, size, cur_font.get("base"),
+            adv = [glyph_width(ch, size * tm_sx, cur_font.get("base"),
                                cur_font.get("widths")) for ch in s]
+        elif tm_sx != 1.0:
+            adv = [a * tm_sx for a in adv]
         if texts and texts[-1][5] == text_obj:
             px, py, psize, ptext, padv, _ = texts[-1]
-            if py == ty and psize == size and padv:
+            if py == ty and psize == eff and padv:
                 gap = tx - (px + sum(padv))
                 padv[-1] += gap
                 texts[-1] = (px, py, psize, ptext + s, padv + adv, text_obj)
                 tx += sum(adv)
                 return
-        texts.append((tx, ty, size, s, adv, text_obj))
+        texts.append((tx, ty, eff, s, adv, text_obj))
         tx += sum(adv)
 
     def _dispatch_op(op: bytes):
         nonlocal size, cur_font, leading, tx, ty, lx, ly
         nonlocal cur_x, cur_y, path_min, path_max, text_obj
+        nonlocal tm_sx, tm_sy
         if op == b"Tf":
             size = num(stack[-1])
             if len(stack) >= 2 and isinstance(stack[-2], bytes):
@@ -1439,19 +1457,31 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
             stack.clear()
         elif op == b"Tm":
             tx, ty = num(stack[-2]), num(stack[-1])
+            if len(stack) >= 6:
+                try:
+                    a, b_, c, d = (num(v) for v in stack[-6:-2])
+                    # diagonal matrices scale; anything rotated/
+                    # sheared keeps scale 1 (documented subset)
+                    tm_sx, tm_sy = (a, d) if b_ == 0 and c == 0 \
+                        else (1.0, 1.0)
+                except (TypeError, ValueError):
+                    tm_sx = tm_sy = 1.0
             lx, ly = tx, ty
             stack.clear()
         elif op in (b"Td", b"TD"):
             if op == b"TD":  # ISO 32000 §9.4.2: TD also sets leading
                 leading = -num(stack[-1])
-            lx, ly = lx + num(stack[-2]), ly + num(stack[-1])
+            # Td operands are TEXT-SPACE units: scale through the
+            # current diagonal text matrix
+            lx = lx + num(stack[-2]) * tm_sx
+            ly = ly + num(stack[-1]) * tm_sy
             tx, ty = lx, ly
             stack.clear()
         elif op == b"TL":
             leading = num(stack[-1])
             stack.clear()
         elif op == b"T*":
-            ly -= leading
+            ly -= leading * tm_sy
             tx, ty = lx, ly
             stack.clear()
         elif op == b"Tj":
@@ -1462,7 +1492,7 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
             # ' = T* + show; " = set word/char spacing + T* + show
             # (spacings ignored in this subset)
             tok = stack[-1] if isinstance(stack[-1], tuple) else None
-            ly -= leading
+            ly -= leading * tm_sy
             tx, ty = lx, ly
             if tok is not None:
                 show(*_decode_string(tok))
@@ -1481,7 +1511,7 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
                     show(*_decode_string(el))
                 else:
                     try:
-                        tx -= float(el) / 1000.0 * size
+                        tx -= float(el) / 1000.0 * size * tm_sx
                     except (TypeError, ValueError):
                         pass
             stack.clear()
@@ -1508,6 +1538,7 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
         elif op in (b"BT", b"ET"):
             if op == b"BT":
                 text_obj += 1
+                tm_sx = tm_sy = 1.0  # BT resets the text matrix
             stack.clear()
         else:
             stack.append(op)

@@ -590,3 +590,41 @@ def test_fuzz_containment_property():
             parse_pdf_info(bytes(base))
         except PdfParseError:
             pass
+
+
+def test_tm_matrix_scaled_text():
+    """Diagonal text-matrix scaling (the `12 0 0 12 x y Tm` + `Tf 1`
+    idiom LaTeX-era generators emit — font size in the MATRIX): parses
+    to IDENTICAL elements as the classic dialect across width models
+    and chars mode; Td/TD/T*/' operands scale through the matrix
+    (text-space units); rotated/sheared matrices keep positions and
+    fall back to scale 1 (the reference pins detect_vertical=False)."""
+    from pydoxtools_spark.functions.pdfparse import _parse_content
+
+    base = pdf_elements_from_bytes(build_tiny_pdf(PAGES), "d")
+    for kw in ({}, {"compress": True, "use_tj": True},
+               {"widths": "afm"}, {"font": "Courier"}):
+        want = pdf_elements_from_bytes(build_tiny_pdf(PAGES, **kw), "d")
+        got = pdf_elements_from_bytes(
+            build_tiny_pdf(PAGES, tm_scaled=True, **kw), "d")
+        assert got == want, kw
+    assert pdf_elements_from_bytes(
+        build_tiny_pdf(PAGES, tm_scaled=True), "d", emit_chars=True
+    ) == pdf_elements_from_bytes(build_tiny_pdf(PAGES), "d",
+                                 emit_chars=True)
+    assert base == pdf_elements_from_bytes(
+        build_tiny_pdf(PAGES, tm_scaled=True), "d")
+
+    # line operators after a scaled Tm: Td/TL/T*/' displace in
+    # text-space units times the matrix scale
+    raw = (b"BT /F1 1 Tf 14 TL 10 0 0 10 72 700 Tm (first) Tj "
+           b"T* (second) Tj (third) ' ET")
+    texts, _g = _parse_content(raw)
+    assert [(t[3], t[1], t[2]) for t in texts] == [
+        ("first", 700.0, 10.0), ("second", 560.0, 10.0),
+        ("third", 420.0, 10.0)]  # leading 14 text-space * scale 10
+
+    # rotated matrix: position honored, scale falls back to 1
+    texts2, _ = _parse_content(
+        b"BT /F1 10 Tf 0 1 -1 0 100 200 Tm (rot) Tj ET")
+    assert texts2[0][:3] == (100.0, 200.0, 10.0)
