@@ -1637,8 +1637,11 @@ def q_ocr_glyphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 # EXACTLY the oracle's normalization chain: trim,
                 # \s+ collapse, printable-ASCII filter, re-collapse,
-                # trim, first 40 chars, rtrim
-                t = _re.sub(r"\s+", " ", (text or "").strip())
+                # trim, first 40 chars, rtrim.  re.ASCII pins \s to
+                # RE2's ASCII-only class — python's unicode-aware \s
+                # would collapse U+00A0/U+3000 to ' ' while the
+                # DuckDB oracle deletes them via [^ -~] (r5 advisor)
+                t = _re.sub(r"\s+", " ", (text or "").strip(), flags=_re.ASCII)
                 t = _re.sub(r"[^ -~]", "", t)
                 t = _re.sub(r" +", " ", t).strip()
                 body = t[:40].rstrip()

@@ -101,6 +101,56 @@ def drift_canary(spark, sf_dir, reps: int = 3) -> float:
     return round(best, 3)
 
 
+# Python-worker canary baseline: same discipline as CANARY_BASELINE_SEC
+# (fresh session, untimed warm rep, min-of-3) measured 2026-08-17
+# (round 6) — min of three back-to-back canary runs (0.766/0.836/
+# 0.753) in a jvm-drift-1.08 window.  The JVM canary provably cannot
+# explain python-worker drift: in BENCH_r05 every python-kernel query
+# regressed 13-190% NORMALIZED with unchanged code while every
+# pure-JVM query improved — worker-fork latency, Arrow transfer and
+# python CPU contention move independently of JVM codegen throughput.
+PY_CANARY_BASELINE_SEC = 0.75
+
+# Suite queries whose hot path runs through an Arrow-batched python
+# kernel (mapInPandas/applyInPandas): these normalize by the PYTHON
+# canary; everything else (pure Catalyst/codegen plans) by the JVM one.
+PY_KERNEL_QUERIES = {
+    "html_main_content", "html_meta", "text_paragraph_spans",
+    "markdown_spans", "docx_spans", "pdf_bytes", "pdf_render",
+    "blob_routing", "pdf_table_chars", "ocr_glyphs",
+}
+
+
+def py_drift_canary(spark, reps: int = 3) -> float:
+    """Fixed python-worker calibration workload (r5 verdict item 2):
+    a mapInPandas kernel doing real per-row python work (md5 over
+    deterministic strings) on a fixed row count across CPUS partitions.
+    Exercises exactly what the JVM canary cannot see — python worker
+    startup/reuse, Arrow batch transfer, and python-side CPU speed
+    under whatever contention the window carries.  Untimed warm rep +
+    min-of-reps, like drift_canary."""
+    import pandas as _pd
+
+    def kernel(batches):
+        import hashlib
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "h": [hashlib.md5((str(i) * 60).encode()).hexdigest()
+                      for i in pdf["id"]]})
+
+    best = None
+    for i in range(reps + 1):
+        t0 = time.monotonic()
+        spark.range(0, 2_400_000, 1, CPUS).mapInPandas(
+            kernel, "h string").count()
+        dt = time.monotonic() - t0
+        if i == 0:
+            continue
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
 def ann_recall(spark) -> dict:
     """Recall evidence for the approximate similarity paths (r3 verdict
     item 8): a deterministic 96k-vector corpus (1000 seeded cluster
@@ -306,6 +356,12 @@ def _run_pipeline(spark, corpus_dir: str, parallelism: int, out_dir: str) -> dic
 # it only anchors the reported per-point normalized seconds.
 SERIAL_CANARY_BASELINE_SEC = 1.20
 
+# A rep whose bracketing canary drift exceeds this is a dirty-window
+# measurement: discard and re-run instead of normalizing through it
+# (r5 verdict item 1 — clean-window history spans drift 0.94-1.25;
+# the 0.702-efficiency r5 artifact ran its lo point at drift 1.73).
+DRIFT_REJECT = 1.3
+
 
 def _serial_canary(spark, reps: int = 2) -> float:
     """Single-threaded pure-JVM calibration kernel: a 600M-row
@@ -361,12 +417,44 @@ def scaling_evidence(n_docs: int | None = None, lo=2, hi=8,
     canary spike must not poison the factor; the baseline cancels in
     the ratio).  `efficiency` is computed from the normalized times —
     the drift-corrected number the gate reads; `efficiency_raw` keeps
-    the uncorrected ratio for comparison."""
+    the uncorrected ratio for comparison.
+
+    DIRTY-WINDOW REJECTION (r5 verdict item 1): normalization through
+    a heavily contended window is extrapolation, not measurement — the
+    serial 1-core canary cannot model how contention hits a 2-core vs
+    an 8-core job (BENCH_r05's lo point ran at bracketing drift 1.73
+    and the 'corrected' efficiency moved BELOW the raw one, 0.702 vs
+    0.837, while three same-code clean-window runs measured
+    0.84-0.89).  Any rep whose bracketing drift exceeds DRIFT_REJECT
+    is therefore DISCARDED and re-run (bounded retries); rejected reps
+    are recorded in the artifact under `rejected_reps` so the judge
+    sees what was thrown away and why.  A clean-window measurement
+    beats a corrected dirty one."""
     n_docs = n_docs or int(os.environ.get("SPARK_GRAFT_BENCH_NDOCS", "96000"))
     hi_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
     corpus_dir = _bench_corpus(n_docs)
-    his = [_scale_point_subprocess(hi, shuffle, corpus_dir)]
-    los = [_scale_point_subprocess(lo, shuffle, corpus_dir)]
+    rejected: list[dict] = []
+    # shared retry budget across both points: a sustained-dirty HOST
+    # should exhaust it and fall back to accepting (flagged) dirty
+    # reps rather than looping forever
+    retry_budget = [int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "4"))]
+
+    def _accepted_point(cores: int) -> dict:
+        while True:
+            r = _scale_point_subprocess(cores, shuffle, corpus_dir)
+            if r["drift"] <= DRIFT_REJECT or retry_budget[0] <= 0:
+                if r["drift"] > DRIFT_REJECT:
+                    r["accepted_dirty"] = True  # budget exhausted
+                return r
+            retry_budget[0] -= 1
+            rejected.append({
+                "cores": cores, "sec": r["sec"], "drift": r["drift"],
+                "canary_before_sec": r["canary_before_sec"],
+                "canary_after_sec": r["canary_after_sec"],
+            })
+
+    his = [_accepted_point(hi)]
+    los = [_accepted_point(lo)]
     ratio = hi / lo
 
     def _eff(key="sec_norm"):
@@ -383,16 +471,14 @@ def scaling_evidence(n_docs: int | None = None, lo=2, hi=8,
     extra_hi = hi_reps - 1
     if extra_hi <= 0 and _eff() < 0.85:
         extra_hi = 1
-    his += [_scale_point_subprocess(hi, shuffle, corpus_dir)
-            for _ in range(extra_hi)]
+    his += [_accepted_point(hi) for _ in range(extra_hi)]
     extra_lo = hi_reps - 1
     if extra_lo <= 0 and _eff() > 1.0:
         extra_lo = 1
-    los += [_scale_point_subprocess(lo, shuffle, corpus_dir)
-            for _ in range(extra_lo)]
+    los += [_accepted_point(lo) for _ in range(extra_lo)]
     if _eff() < 0.85 and len(los) == 1:
-        his.append(_scale_point_subprocess(hi, shuffle, corpus_dir))
-        los.append(_scale_point_subprocess(lo, shuffle, corpus_dir))
+        his.append(_accepted_point(hi))
+        los.append(_accepted_point(lo))
     lo_pt = min(los, key=lambda r: r["sec_norm"])
     hi_pt = min(his, key=lambda r: r["sec_norm"])
     # report raw efficiency from the SAME chosen reps so t_*_sec,
@@ -412,6 +498,8 @@ def scaling_evidence(n_docs: int | None = None, lo=2, hi=8,
             "docs": hi_pt["docs"],
             "docs_per_sec_hi": hi_pt["docs_per_sec"],
             "hi_reps": len(his), "lo_reps": len(los),
+            "drift_reject_threshold": DRIFT_REJECT,
+            "rejected_reps": rejected,
             "efficiency_raw": eff_raw,
             "efficiency": round(_eff(), 3)}
 
@@ -489,6 +577,8 @@ def main():
     entrymod.q_html_main_content(spark, SF_DIR).limit(10).count()
     canary_sec = drift_canary(spark, SF_DIR)
     drift = round(canary_sec / CANARY_BASELINE_SEC, 3)
+    py_canary_sec = py_drift_canary(spark)
+    py_drift = round(py_canary_sec / PY_CANARY_BASELINE_SEC, 3)
     times, _rows = run_suite(spark, SF_DIR)
     extr = extraction_throughput(spark, SF_DIR)
     ingest = ingest_throughput(spark)
@@ -516,10 +606,19 @@ def main():
             "baseline_sec": CANARY_BASELINE_SEC,
             "drift_factor": drift,
         },
-        # suite times divided by the canary drift factor: comparable
-        # across rounds even when the host VM is in a slow window
+        "py_canary": {
+            "sec": py_canary_sec,
+            "baseline_sec": PY_CANARY_BASELINE_SEC,
+            "drift_factor": py_drift,
+        },
+        # suite times divided by the matching canary drift factor
+        # (python-kernel queries by the python-worker canary, pure-JVM
+        # queries by the codegen canary — r5 verdict item 2: the JVM
+        # canary cannot model python-worker drift): comparable across
+        # rounds even when the host VM is in a slow window
         "queries_normalized": {
-            q: round(t / drift, 3) for q, t in times.items()
+            q: round(t / (py_drift if q in PY_KERNEL_QUERIES else drift), 3)
+            for q, t in times.items()
         },
     }
     if recall:

@@ -366,7 +366,9 @@ def extract_pdf_items(
     text = el[
         (el["type"] == "Text")
         & el["rawtext"].notna()
-        & (el["mean_char_orientation"].fillna(0.0) != VERTICAL_ORIENTATION)
+        # any non-horizontal orientation (90 OR 270) is vertical —
+        # dropped like the reference's template rotation filter
+        & (el["mean_char_orientation"].fillna(0.0) % 180.0 == 0.0)
     ]
     graphics = el[el["type"] == "Graphic"]
     images = el[el["type"] == "Image"]

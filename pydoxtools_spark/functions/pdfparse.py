@@ -107,6 +107,15 @@ class PdfParseError(ValueError):
     pass
 
 
+class PdfEncryptedError(PdfParseError):
+    """Encryption detected but undecryptable: password-protected files,
+    unsupported security handlers, and decrypt-time failures (bad AES
+    padding / stream length).  A DEDICATED subclass so the repair
+    ladder can contain it by type — substring-matching the message let
+    decrypt-time AES failures fall through to the lenient rung, which
+    emits ciphertext as garbage text rows (r5 advisor finding)."""
+
+
 # ------------------------------------------------------------------ writer
 
 
@@ -127,7 +136,17 @@ def _esc_bytes(b: bytes) -> bytes:
 def _render_page_content(page: dict, use_tj: bool,
                          tm_scaled: bool = False) -> bytes:
     content = bytearray()
-    for x, y, size, text in page.get("texts", []):
+    for t in page.get("texts", []):
+        x, y, size, text = t[:4]
+        angle = t[4] if len(t) > 4 else 0
+        if angle:
+            # rotated label (90/270°): pure-rotation text matrix with
+            # the font size in Tf — the invoice-margin-label shape
+            b_, c = (1, -1) if angle == 90 else (-1, 1)
+            content += (b"BT /F1 %.2f Tf 0 %d %d 0 %.2f %.2f Tm "
+                        b"(%s) Tj ET\n"
+                        % (size, b_, c, x, y, _esc(text)))
+            continue
         if tm_scaled:
             # the generator idiom where the font size lives in the
             # text MATRIX: Tf 1 + a diagonal scale in Tm
@@ -150,6 +169,12 @@ def _render_page_content(page: dict, use_tj: bool,
         content += b"%.2f %.2f %.2f %.2f re S\n" % (x, y, w, h)
     for x0, y0, x1, y1 in page.get("lines", []):
         content += b"%.2f %.2f m %.2f %.2f l S\n" % (x0, y0, x1, y1)
+    for j, im in enumerate(page.get("images", [])):
+        # unit-square image placement: scale to (w, h), translate to
+        # (x, y) — resource names are page-local (/Im1, /Im2, ...)
+        x, y, w, h = im[:4]
+        content += (b"q %.2f 0 0 %.2f %.2f %.2f cm /Im%d Do Q\n"
+                    % (w, h, x, y, j + 1))
     return bytes(content)
 
 
@@ -202,6 +227,16 @@ def build_tiny_pdf(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     font_obj = 3 + 2 * n_pages
+    # image XObject numbering (after font + any length objects):
+    # page-local resource names /Im{j+1} map to globally numbered
+    # objects in page order
+    n_len = n_pages if length_indirect else 0
+    img_objs_of_page: list[list[int]] = []
+    nxt_img = font_obj + 1 + n_len
+    for page in pages:
+        cnt = len(page.get("images", []))
+        img_objs_of_page.append(list(range(nxt_img, nxt_img + cnt)))
+        nxt_img += cnt
     stream_lengths: list[int] = []
     for i, page in enumerate(pages):
         content = bytearray(_render_page_content(page, use_tj, tm_scaled))
@@ -223,10 +258,16 @@ def build_tiny_pdf(
         elif compress:
             content = bytearray(zlib.compress(bytes(content)))
             filt = b" /Filter /FlateDecode"
+        res = f"<< /Font << /F1 {font_obj} 0 R >>"
+        if img_objs_of_page[i]:
+            xs = " ".join(f"/Im{j + 1} {num} 0 R"
+                          for j, num in enumerate(img_objs_of_page[i]))
+            res += f" /XObject << {xs} >>"
+        res += " >>"
         objs.append(
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} "
             f"{PAGE_H:g}] /Contents {4 + 2 * i} 0 R /Resources "
-            f"<< /Font << /F1 {font_obj} 0 R >> >> >>".encode()
+            f"{res} >>".encode()
         )
         if length_indirect:
             stream_lengths.append(len(content))
@@ -255,6 +296,35 @@ def build_tiny_pdf(
     objs.append((font_dict + " >>").encode())
     for n in stream_lengths:
         objs.append(b"%d" % n)
+    for page in pages:
+        for im in page.get("images", []):
+            # im = (x, y, w, h[, kind[, px_w, px_h[, (r, g, b)]]]):
+            # kind 'rgb' embeds Flate-compressed raw /DeviceRGB samples
+            # (decodable subset); 'dct' embeds an undecoded fake-JPEG
+            # /DCTDecode payload (the plug-in-codec passthrough shape)
+            kind = im[4] if len(im) > 4 else "rgb"
+            iw = int(im[5]) if len(im) > 5 else 8
+            ih = int(im[6]) if len(im) > 6 else 6
+            rgb = tuple(im[7]) if len(im) > 7 else (200, 120, 40)
+            if kind == "rgb":
+                comp = zlib.compress(bytes(rgb) * (iw * ih))
+                objs.append(
+                    b"<< /Type /XObject /Subtype /Image /Width %d"
+                    b" /Height %d /ColorSpace /DeviceRGB"
+                    b" /BitsPerComponent 8 /Filter /FlateDecode"
+                    b" /Length %d >>\nstream\n%s\nendstream"
+                    % (iw, ih, len(comp), comp))
+            elif kind == "dct":
+                fake = (b"\xff\xd8\xff\xe0" + b"FAKEJPEG"
+                        + bytes(rgb) * 4 + b"\xff\xd9")
+                objs.append(
+                    b"<< /Type /XObject /Subtype /Image /Width %d"
+                    b" /Height %d /ColorSpace /DeviceRGB"
+                    b" /BitsPerComponent 8 /Filter /DCTDecode"
+                    b" /Length %d >>\nstream\n%s\nendstream"
+                    % (iw, ih, len(fake), fake))
+            else:
+                raise ValueError(f"unknown image kind: {kind}")
     info_obj = None
     if producer is not None or creator is not None:
         body = b"<<"
@@ -583,7 +653,7 @@ def _strip_pkcs7(data: bytes) -> bytes:
         return data
     n = data[-1]
     if not 1 <= n <= 16 or len(data) < n:
-        raise PdfParseError("bad AES padding")
+        raise PdfEncryptedError("bad AES padding")
     return data[:-n]
 
 
@@ -617,7 +687,7 @@ class _PdfDecryptor:
         key = (self.file_key if self.method == "aesv3"
                else self._obj_key(num, gen))
         if len(data) < 16 or len(data) % 16:
-            raise PdfParseError("bad AES stream length")
+            raise PdfEncryptedError("bad AES stream length")
         return _strip_pkcs7(cbc_decrypt(key, data[:16], data[16:]))
 
     def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
@@ -677,9 +747,9 @@ def _build_decryptor(data: bytes,
         return None
     enc = objs.get(int(em.group(1)))
     if enc is None:
-        raise PdfParseError("dangling /Encrypt reference")
+        raise PdfEncryptedError("dangling /Encrypt reference")
     if b"/Standard" not in enc:
-        raise PdfParseError("unsupported security handler")
+        raise PdfEncryptedError("unsupported security handler")
     rm = _RENTRY_RE.search(enc)
     r = int(rm.group(1)) if rm else 2
     vm = _VENTRY_RE.search(enc)
@@ -691,13 +761,13 @@ def _build_decryptor(data: bytes,
         # decrypted with the key-salt 2.B hash
         um, uem = _UENTRY_RE.search(enc), _UEENTRY_RE.search(enc)
         if not (um and uem):
-            raise PdfParseError("incomplete /Encrypt dictionary (V5)")
+            raise PdfEncryptedError("incomplete /Encrypt dictionary (V5)")
         u_entry = _unesc_bytes(um.group(1))
         ue_entry = _unesc_bytes(uem.group(1))
         if len(u_entry) < 48 or len(ue_entry) < 32:
-            raise PdfParseError("malformed V5 /U //UE entries")
+            raise PdfEncryptedError("malformed V5 /U //UE entries")
         if _hash_2b(b"", u_entry[32:40]) != u_entry[:32]:
-            raise PdfParseError("password-protected pdf (empty user "
+            raise PdfEncryptedError("password-protected pdf (empty user "
                                 "password rejected)")
         from .aescore import cbc_decrypt
 
@@ -706,24 +776,24 @@ def _build_decryptor(data: bytes,
         return _PdfDecryptor(key, "aesv3")
 
     if r > 4:
-        raise PdfParseError(f"unsupported /Encrypt revision {r}")
+        raise PdfEncryptedError(f"unsupported /Encrypt revision {r}")
     km = _KEYLEN_RE.search(enc)
     bits = int(km.group(1)) if km else 40
     n = bits // 8 if bits >= 40 else bits  # CF /Length is in BYTES
     om, um, pm = (_OENTRY_RE.search(enc), _UENTRY_RE.search(enc),
                   _PENTRY_RE.search(enc))
     if not (om and um and pm):
-        raise PdfParseError("incomplete /Encrypt dictionary")
+        raise PdfEncryptedError("incomplete /Encrypt dictionary")
     o_entry = _unesc_bytes(om.group(1))
     u_entry = _unesc_bytes(um.group(1))
     idm = _ID_RE.search(data)
     file_id = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
     key = _file_key(b"", o_entry, int(pm.group(1)), file_id, n=n, r=r)
     if r == 2 and _user_entry(key, r=2) != u_entry:
-        raise PdfParseError("password-protected pdf (empty user "
+        raise PdfEncryptedError("password-protected pdf (empty user "
                             "password rejected)")
     if r in (3, 4) and _user_entry_r34(key, file_id)[:16] != u_entry[:16]:
-        raise PdfParseError("password-protected pdf (empty user "
+        raise PdfEncryptedError("password-protected pdf (empty user "
                             "password rejected)")
     method = "aesv2" if b"/AESV2" in enc else "rc4"
     return _PdfDecryptor(key, method)
@@ -1109,6 +1179,38 @@ def _page_fonts(page: bytes, objs: dict[int, bytes],
     return fonts
 
 
+_XOBJRES_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+_COLORSPACE_RE = re.compile(rb"/ColorSpace\s*/(\w+)")
+
+
+def _page_xobjects(page: bytes, objs: dict[int, bytes]) -> dict[bytes, dict]:
+    """Resolve the page's /Resources /XObject name -> info map for
+    IMAGE XObjects (reference: every pdfminer LTFigure becomes an
+    Image element, pdf_utils.py:286-398).  Form XObjects and anything
+    without /Subtype /Image are ignored (outside the subset)."""
+    xobjects: dict[bytes, dict] = {}
+    xr = _XOBJRES_RE.search(page)
+    if xr:
+        for m in _FONTREF_RE.finditer(xr.group(1)):
+            num = int(m.group(2))
+            body = objs.get(num)
+            if body is None:
+                continue
+            head = body.split(b"stream", 1)[0]
+            if b"/Image" not in head:
+                continue
+            wm, hm = _WIDTH_RE.search(head), _HEIGHT_RE.search(head)
+            xobjects[b"/" + m.group(1)] = {
+                "num": num,
+                "width": int(wm.group(1)) if wm else None,
+                "height": int(hm.group(1)) if hm else None,
+            }
+    return xobjects
+
+
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.S)
 _OBJSTM_PAIR_RE = re.compile(rb"(\d+)\s+(\d+)")
 _N_RE = re.compile(rb"/N\s+(\d+)")
@@ -1137,6 +1239,8 @@ def _expand_object_streams(data: bytes, objs: dict[int, bytes],
             if dec is not None:
                 payload = dec(num, 0, payload)
             decoded = _maybe_flate(h, payload)
+        except PdfEncryptedError:
+            raise  # decrypt failure must reach the typed containment
         except PdfParseError:
             continue  # damaged ObjStm: skip, lenient may still salvage
         first = int(fm.group(1))
@@ -1172,8 +1276,10 @@ def _page_content(page: bytes, data: bytes,
     return b"\n".join(parts)
 
 
-def _content_streams_strict(data: bytes) -> list[tuple[bytes, dict]]:
-    """-> [(decoded content stream, font map)] in /Kids page order."""
+def _content_streams_strict(
+        data: bytes) -> list[tuple[bytes, dict, dict]]:
+    """-> [(decoded content stream, font map, xobject map)] in /Kids
+    page order."""
     if not data.startswith(b"%PDF-"):
         raise PdfParseError("missing %PDF header")
     tail = data[-200:]
@@ -1222,14 +1328,16 @@ def _content_streams_strict(data: bytes) -> list[tuple[bytes, dict]]:
         if page is None:
             raise PdfParseError("dangling /Kids reference")
         streams.append((_page_content(page, data, objstart, dec),
-                        _page_fonts(page, objs, data, objstart, dec)))
+                        _page_fonts(page, objs, data, objstart, dec),
+                        _page_xobjects(page, objs)))
     return streams
 
 
 _STREAM_START_RE = re.compile(rb"(?<!end)stream\r?\n")
 
 
-def _content_streams_lenient(data: bytes) -> list[tuple[bytes, dict]]:
+def _content_streams_lenient(
+        data: bytes) -> list[tuple[bytes, dict, dict]]:
     """Repair rung (pdf_utils.py:81-148 semantics): structure damaged
     (xref/trailer/header) but stream payloads intact — recover every
     stream blob in byte order and treat each as one page's content.
@@ -1250,7 +1358,7 @@ def _content_streams_lenient(data: bytes) -> list[tuple[bytes, dict]]:
             payload = _inflate(raw)
         except zlib.error:
             payload = raw.rstrip(b"\r\n")
-        streams.append((payload, {}))
+        streams.append((payload, {}, {}))
     if not streams:
         raise PdfParseError("no recoverable content streams")
     return streams
@@ -1338,14 +1446,21 @@ def _unesc(raw: bytes) -> str:
     return out.decode("utf-8", errors="replace")
 
 
-def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
-    """One content stream -> (texts [(x, y, size, text, advances)],
-    graphics [(x0, y0, x1, y1)]).  Tiny postfix interpreter over the
-    operator subset (ISO 32000 §9.4 text ops incl. TJ arrays, §8.5
-    path ops).  `advances` is the per-glyph advance list under the
-    resolved font's width model (see glyph_width)."""
+def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None,
+                   xobjects: dict[bytes, dict] | None = None):
+    """One content stream -> (texts [(x, y, size, text, advances,
+    orientation)], graphics [(x0, y0, x1, y1)], images [(x0, y0, x1,
+    y1, xobj_num)]).  Tiny postfix interpreter over the operator subset
+    (ISO 32000 §9.4 text ops incl. TJ arrays, §8.5 path ops, §8.8 q/Q/
+    cm + §8.9.5 Do image placement).  `advances` is the per-glyph
+    advance list under the resolved font's width model (see
+    glyph_width); `orientation` is 0/90/270 degrees (r6: pure-rotation
+    text matrices parse into oriented elements instead of being
+    skipped — the reference tracks mean_char_orientation and drops 90°
+    boxes in the page template, extract_textstructure.py:398-460)."""
     fonts = fonts or {}
-    texts, graphics = [], []
+    xobjects = xobjects or {}
+    texts, graphics, images = [], [], []
     # tokenize: literal AND hex strings as single tokens; '[' / ']'
     # broken out of the whitespace-split chunks so TJ arrays delimit
     # cleanly.  Hex strings stay raw bytes — a CID font decodes them
@@ -1377,16 +1492,26 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
     size = 12.0
     cur_font: dict = {}
     leading = 0.0  # /TL text leading (TL, TD set it; T* / ' use it)
-    # diagonal text-matrix scale (the `12 0 0 12 x y Tm` + `Tf 1`
-    # idiom LaTeX-era generators emit: font size lives in the MATRIX).
-    # Rotated/sheared matrices stay outside the subset (the reference
-    # pins detect_vertical=False): positions are still honored, scale
-    # falls back to 1.
-    tm_sx = tm_sy = 1.0
+    # text matrix, classified into the supported subset:
+    #   diagonal positive  -> orientation 0, scales (a, d) (the
+    #     `12 0 0 12 x y Tm` + `Tf 1` idiom: font size in the MATRIX)
+    #   pure ±90° rotation -> orientation 90/270, scale |b| (r6:
+    #     rotated labels parse into oriented elements)
+    #   anything else (y-flip `1 0 0 -1`, mirror, shear) -> identity
+    #     fallback: positions honored, scale 1 (r5 advisor: a flip
+    #     must not emit negative sizes/advances)
+    # tm_a..tm_d hold the CLASSIFIED matrix (identity in the fallback
+    # case) so Td/T*/kern displacement math is uniform.
+    tm_a, tm_b, tm_c, tm_d = 1.0, 0.0, 0.0, 1.0
+    tm_rot = 0           # 0 | 90 | 270 degrees
+    tm_sx = tm_sy = 1.0  # advance / glyph-height scale magnitudes
     tx = ty = 0.0
     lx = ly = 0.0  # text line start (for Td/TD)
     cur_x = cur_y = 0.0  # path current point
     path_min = path_max = None
+    # graphics CTM for image placement (q/Q stack + cm concatenation)
+    ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    ctm_stack: list[tuple] = []
 
     def num(v):
         return float(v)
@@ -1425,8 +1550,10 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
         (TJ segments, kerned or not) merge into a single text entry —
         the pdfminer line-merge behavior our downstream expects.  A
         kern gap is absorbed into the previous glyph's advance so
-        x + cumsum(advances) keeps locating every glyph."""
-        nonlocal tx
+        x + cumsum(advances) keeps locating every glyph.  Rotated runs
+        (orientation 90/270) advance along ±y and never merge (vertical
+        labels are short; the template drops them anyway)."""
+        nonlocal tx, ty
         if not s:
             return
         eff = size * tm_sy  # rendered glyph height
@@ -1435,21 +1562,31 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
                                cur_font.get("widths")) for ch in s]
         elif tm_sx != 1.0:
             adv = [a * tm_sx for a in adv]
-        if texts and texts[-1][5] == text_obj:
-            px, py, psize, ptext, padv, _ = texts[-1]
+        if tm_rot == 90:
+            texts.append((tx, ty, eff, s, adv, 90, text_obj))
+            ty += sum(adv)
+            return
+        if tm_rot == 270:
+            texts.append((tx, ty, eff, s, adv, 270, text_obj))
+            ty -= sum(adv)
+            return
+        if texts and texts[-1][6] == text_obj and texts[-1][5] == 0:
+            px, py, psize, ptext, padv, _rot, _ = texts[-1]
             if py == ty and psize == eff and padv:
                 gap = tx - (px + sum(padv))
                 padv[-1] += gap
-                texts[-1] = (px, py, psize, ptext + s, padv + adv, text_obj)
+                texts[-1] = (px, py, psize, ptext + s, padv + adv, 0,
+                             text_obj)
                 tx += sum(adv)
                 return
-        texts.append((tx, ty, eff, s, adv, text_obj))
+        texts.append((tx, ty, eff, s, adv, 0, text_obj))
         tx += sum(adv)
 
     def _dispatch_op(op: bytes):
         nonlocal size, cur_font, leading, tx, ty, lx, ly
         nonlocal cur_x, cur_y, path_min, path_max, text_obj
-        nonlocal tm_sx, tm_sy
+        nonlocal tm_a, tm_b, tm_c, tm_d, tm_rot, tm_sx, tm_sy
+        nonlocal ctm
         if op == b"Tf":
             size = num(stack[-1])
             if len(stack) >= 2 and isinstance(stack[-2], bytes):
@@ -1457,31 +1594,46 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
             stack.clear()
         elif op == b"Tm":
             tx, ty = num(stack[-2]), num(stack[-1])
+            tm_a, tm_b, tm_c, tm_d = 1.0, 0.0, 0.0, 1.0
+            tm_rot, tm_sx, tm_sy = 0, 1.0, 1.0
             if len(stack) >= 6:
                 try:
                     a, b_, c, d = (num(v) for v in stack[-6:-2])
-                    # diagonal matrices scale; anything rotated/
-                    # sheared keeps scale 1 (documented subset)
-                    tm_sx, tm_sy = (a, d) if b_ == 0 and c == 0 \
-                        else (1.0, 1.0)
                 except (TypeError, ValueError):
-                    tm_sx = tm_sy = 1.0
+                    a, b_, c, d = 1.0, 0.0, 0.0, 1.0
+                if b_ == 0 and c == 0 and a > 0 and d > 0:
+                    # diagonal positive: scale-only matrix
+                    tm_a, tm_b, tm_c, tm_d = a, b_, c, d
+                    tm_sx, tm_sy = a, d
+                elif a == 0 and d == 0 and b_ > 0 and c < 0:
+                    # pure 90° rotation: [0 s; -s 0]
+                    tm_a, tm_b, tm_c, tm_d = a, b_, c, d
+                    tm_rot, tm_sx, tm_sy = 90, b_, -c
+                elif a == 0 and d == 0 and b_ < 0 and c > 0:
+                    # pure 270° rotation: [0 -s; s 0]
+                    tm_a, tm_b, tm_c, tm_d = a, b_, c, d
+                    tm_rot, tm_sx, tm_sy = 270, -b_, c
+                # else: y-flip/mirror/shear -> identity fallback
+                # (positions honored, scale 1; r5 advisor finding)
             lx, ly = tx, ty
             stack.clear()
         elif op in (b"Td", b"TD"):
             if op == b"TD":  # ISO 32000 §9.4.2: TD also sets leading
                 leading = -num(stack[-1])
-            # Td operands are TEXT-SPACE units: scale through the
-            # current diagonal text matrix
-            lx = lx + num(stack[-2]) * tm_sx
-            ly = ly + num(stack[-1]) * tm_sy
+            # Td operands are TEXT-SPACE units: map the displacement
+            # through the classified text matrix
+            dx, dy = num(stack[-2]), num(stack[-1])
+            lx = lx + dx * tm_a + dy * tm_c
+            ly = ly + dx * tm_b + dy * tm_d
             tx, ty = lx, ly
             stack.clear()
         elif op == b"TL":
             leading = num(stack[-1])
             stack.clear()
         elif op == b"T*":
-            ly -= leading * tm_sy
+            # (0, -leading) in text space through the matrix
+            lx -= leading * tm_c
+            ly -= leading * tm_d
             tx, ty = lx, ly
             stack.clear()
         elif op == b"Tj":
@@ -1492,7 +1644,8 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
             # ' = T* + show; " = set word/char spacing + T* + show
             # (spacings ignored in this subset)
             tok = stack[-1] if isinstance(stack[-1], tuple) else None
-            ly -= leading * tm_sy
+            lx -= leading * tm_c
+            ly -= leading * tm_d
             tx, ty = lx, ly
             if tok is not None:
                 show(*_decode_string(tok))
@@ -1511,9 +1664,42 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
                     show(*_decode_string(el))
                 else:
                     try:
-                        tx -= float(el) / 1000.0 * size * tm_sx
+                        # kern displaces along the advance direction
+                        k = float(el) / 1000.0 * size
+                        tx -= k * tm_a
+                        ty -= k * tm_b
                     except (TypeError, ValueError):
                         pass
+            stack.clear()
+        elif op == b"q":
+            ctm_stack.append(ctm)
+            stack.clear()
+        elif op == b"Q":
+            if ctm_stack:
+                ctm = ctm_stack.pop()
+            stack.clear()
+        elif op == b"cm":
+            # concatenate: new CTM = M × CTM (row-vector convention)
+            try:
+                a, b_, c, d, e, f_ = (num(v) for v in stack[-6:])
+                pa, pb, pc, pd, pe, pf = ctm
+                ctm = (a * pa + b_ * pc, a * pb + b_ * pd,
+                       c * pa + d * pc, c * pb + d * pd,
+                       e * pa + f_ * pc + pe, e * pb + f_ * pd + pf)
+            except (TypeError, ValueError, IndexError):
+                pass
+            stack.clear()
+        elif op == b"Do":
+            # image XObject placement: the unit square through the CTM
+            # (ISO 32000 §8.9.5); form XObjects are outside the subset
+            if stack and isinstance(stack[-1], bytes):
+                xo = xobjects.get(stack[-1])
+                if xo is not None:
+                    pa, pb, pc, pd, pe, pf = ctm
+                    xs = [pe, pa + pe, pc + pe, pa + pc + pe]
+                    ys = [pf, pb + pf, pd + pf, pb + pd + pf]
+                    images.append((min(xs), min(ys), max(xs), max(ys),
+                                   xo["num"]))
             stack.clear()
         elif op == b"re":
             x, y, w, h = (num(v) for v in stack[-4:])
@@ -1538,7 +1724,9 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
         elif op in (b"BT", b"ET"):
             if op == b"BT":
                 text_obj += 1
-                tm_sx = tm_sy = 1.0  # BT resets the text matrix
+                # BT resets the text matrix
+                tm_a, tm_b, tm_c, tm_d = 1.0, 0.0, 0.0, 1.0
+                tm_rot, tm_sx, tm_sy = 0, 1.0, 1.0
             stack.clear()
         else:
             stack.append(op)
@@ -1555,7 +1743,7 @@ def _parse_content(stream: bytes, fonts: dict[bytes, dict] | None = None):
             # streams cut mid-operator, inflated non-content bytes) —
             # skip the broken op, keep salvaging the rest
             stack.clear()
-    return [t[:5] for t in texts], graphics
+    return [t[:6] for t in texts], graphics, images
 
 
 def pdf_elements_from_bytes(data: bytes, doc_id: str,
@@ -1570,45 +1758,68 @@ def pdf_elements_from_bytes(data: bytes, doc_id: str,
     tree)."""
     try:
         streams = _content_streams_strict(data)
-    except PdfParseError as e:
-        msg = str(e)
-        if "password" in msg or "security handler" in msg \
-                or "Encrypt" in msg:
-            # encrypted-but-unreadable: lenient 'recovery' would emit
-            # RC4 ciphertext as garbage rows — an error row is honest
-            raise
+    except PdfEncryptedError:
+        # encrypted-but-unreadable (password-protected, unsupported
+        # handler, OR a decrypt-time AES failure): lenient 'recovery'
+        # would emit ciphertext as garbage rows — an error row is
+        # honest.  Typed containment (r5 advisor): message matching
+        # missed 'bad AES padding'/'bad AES stream length'.
+        raise
+    except PdfParseError:
         streams = _content_streams_lenient(data)  # may raise: caller contains
 
     rows: list[dict] = []
     boxnum = 0
-    for p, (stream, fonts) in enumerate(streams):
-        texts, graphics = _parse_content(stream, fonts)
-        for x, y, size, text, adv in texts:
+    for p, (stream, fonts, xobjects) in enumerate(streams):
+        texts, graphics, images = _parse_content(stream, fonts, xobjects)
+        for x, y, size, text, adv, rot in texts:
+            total = sum(adv)
+            if rot == 90:
+                # baseline runs up the page; glyph height extends -x
+                bbox = (x - size, y, x, y + total)
+            elif rot == 270:
+                # baseline runs down the page; glyph height extends +x
+                bbox = (x, y - total, x + size, y)
+            else:
+                bbox = (x, y, x + total, y + size)
             boxnum += 1
             rows.append(dict(
                 doc_id=doc_id, p_num=p, boxnum=boxnum, linenum=0,
-                type="Text", x0=x, y0=y,
-                x1=x + sum(adv), y1=y + size,
+                type="Text", x0=bbox[0], y0=bbox[1],
+                x1=bbox[2], y1=bbox[3],
                 rawtext=text, font_name="F1", font_size=size,
-                font_color=None, mean_char_orientation=0.0,
+                font_color=None, mean_char_orientation=float(rot),
                 linewidth=None, media_ref=None,
             ))
             if emit_chars:
-                cx = x
+                cx, cy = x, y
                 for ch, w in zip(text, adv):
                     if ch.isspace():
-                        cx += w
+                        if rot == 90:
+                            cy += w
+                        elif rot == 270:
+                            cy -= w
+                        else:
+                            cx += w
                         continue  # glyph advance only; no box for spaces
+                    if rot == 90:
+                        cbox = (cx - size, cy, cx, cy + w)
+                        cy += w
+                    elif rot == 270:
+                        cbox = (cx, cy - w, cx + size, cy)
+                        cy -= w
+                    else:
+                        cbox = (cx, cy, cx + w, cy + size)
+                        cx += w
                     boxnum += 1
                     rows.append(dict(
                         doc_id=doc_id, p_num=p, boxnum=boxnum, linenum=0,
-                        type="Char", x0=cx, y0=y,
-                        x1=cx + w, y1=y + size,
+                        type="Char", x0=cbox[0], y0=cbox[1],
+                        x1=cbox[2], y1=cbox[3],
                         rawtext=ch, font_name="F1", font_size=size,
-                        font_color=None, mean_char_orientation=0.0,
+                        font_color=None, mean_char_orientation=float(rot),
                         linewidth=None, media_ref=None,
                     ))
-                    cx += w
         for x0, y0, x1, y1 in graphics:
             boxnum += 1
             rows.append(dict(
@@ -1618,7 +1829,105 @@ def pdf_elements_from_bytes(data: bytes, doc_id: str,
                 font_color=None, mean_char_orientation=None,
                 linewidth=1.0, media_ref=None,
             ))
+        for x0, y0, x1, y1, num in images:
+            # reference parity: every placed LTFigure surfaces as an
+            # Image element (pdf_utils.py:286-398) whose media_ref keys
+            # the XObject stream bytes (extract_pdf_images' target) —
+            # the element must not vanish even when the codec is a
+            # plug-in (r5 verdict item 3)
+            boxnum += 1
+            rows.append(dict(
+                doc_id=doc_id, p_num=p, boxnum=boxnum, linenum=0,
+                type="Image", x0=x0, y0=y0, x1=x1, y1=y1,
+                rawtext=None, font_name=None, font_size=None,
+                font_color=None, mean_char_orientation=None,
+                linewidth=None, media_ref=f"{doc_id}#xobj{num}",
+            ))
     return rows
+
+
+_IMAGE_CODEC_TYPES = {
+    b"DCTDecode": "image/jpeg",
+    b"JPXDecode": "image/jp2",
+    b"JBIG2Decode": "image/jbig2",
+    b"CCITTFaxDecode": "image/ccitt",
+}
+
+
+def extract_pdf_images(data: bytes) -> list[tuple[str, str, int | None,
+                                                  int | None, bytes]]:
+    """PDF bytes -> [(target, media_type, width, height, content)] for
+    every image XObject stream (reference: pdfminer surfaces LTFigure
+    images; pdf_utils.py:286-398).  `target` is 'xobj{num}', matching
+    the Image elements' media_ref suffix so span and bytes join on it.
+
+    Decodable subset (no filter / FlateDecode chains, /DeviceRGB 8-bit
+    samples) is re-encoded as a BMP ('image/bmp') so the bytes flow
+    straight into media_features; plug-in codecs (DCT/JPX/JBIG2/CCITT)
+    pass through UNDECODED with their media_type — the element and its
+    bytes must not vanish just because the codec is external (r5
+    verdict item 3).  Raises PdfEncryptedError for undecryptable
+    files (caller contains it as an error row)."""
+    objs: dict[int, bytes] = {}
+    objstart: dict[int, int] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+        objstart[int(m.group(1))] = m.start(2)
+    dec = _build_decryptor(data, objs)
+    out: list[tuple[str, str, int | None, int | None, bytes]] = []
+    for num in sorted(objs):
+        body = objs[num]
+        head = body.split(b"stream", 1)[0]
+        if b"/Image" not in head or b"/Subtype" not in head:
+            continue
+        try:
+            head, payload = _stream_payload_at(data, objstart[num])
+            if dec is not None:
+                payload = dec(num, 0, payload)
+        except PdfEncryptedError:
+            raise
+        except PdfParseError:
+            continue  # damaged image stream: skip, text still parses
+        wm, hm = _WIDTH_RE.search(head), _HEIGHT_RE.search(head)
+        width = int(wm.group(1)) if wm else None
+        height = int(hm.group(1)) if hm else None
+        target = f"xobj{num}"
+        am = _FILTER_ARR_RE.search(head)
+        names = (_FILTER_NAME_RE.findall(am.group(1)) if am
+                 else _FILTER_ONE_RE.findall(head))
+        codec = next((n for n in names if n in _IMAGE_CODEC_TYPES), None)
+        if codec is not None:
+            # plug-in codec: undecoded passthrough (decode any
+            # transport filters BEFORE the codec in the chain)
+            for n in names:
+                if n == codec:
+                    break
+                payload = _decode_filter(n, payload)
+            out.append((target, _IMAGE_CODEC_TYPES[codec],
+                        width, height, payload))
+            continue
+        try:
+            raw = _maybe_flate(head, payload)
+        except PdfParseError:
+            continue
+        cm_ = _COLORSPACE_RE.search(head)
+        bm = _BPC_RE.search(head)
+        if (cm_ and cm_.group(1) == b"DeviceRGB" and bm
+                and bm.group(1) == b"8" and width and height
+                and len(raw) >= width * height * 3):
+            import numpy as np
+
+            from .media import build_bmp
+
+            px = np.frombuffer(
+                raw[: width * height * 3], dtype=np.uint8
+            ).reshape(height, width, 3)
+            out.append((target, "image/bmp", width, height,
+                        build_bmp(px)))
+        else:
+            out.append((target, "application/octet-stream",
+                        width, height, raw))
+    return out
 
 
 def build_pdf_v15(pages: list[dict], use_tj: bool = True) -> bytes:

@@ -246,11 +246,11 @@ def _rtf_esc(s: str) -> str:
 
 
 def build_tiny_rtf(blocks: list[tuple]) -> bytes:
-    """blocks (header/text/list/table forms as in the docx/odt
-    writers; images remain outside the RTF subset) -> deterministic
-    RTF bytes.  List items carry the Word shape: a `{\listtext...}`
-    marker group plus `\lsN`, one list-override index per list block
-    so adjacent lists stay separate."""
+    r"""blocks (header/text/list/table forms as in the docx/odt
+    writers) -> deterministic RTF bytes.  List items carry the Word
+    shape: a `{\listtext...}` marker group plus `\lsN`, one
+    list-override index per list block so adjacent lists stay
+    separate."""
     body: list[str] = []
     n_lists = 0
     for blk in blocks:

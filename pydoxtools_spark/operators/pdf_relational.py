@@ -282,8 +282,10 @@ def pdf_layout_items(pdf_elements: DataFrame,
         (F.col("type") == "Text")
         & F.col("rawtext").isNotNull()
         & (F.length(F.trim("rawtext")) > 0)
+        # 90 AND 270 are both vertical (r6: the bytes parser now emits
+        # 270° labels too); VERTICAL_ORIENTATION stays the canonical 90
         & (F.coalesce(F.col("mean_char_orientation"), F.lit(0.0))
-           != VERTICAL_ORIENTATION)
+           % F.lit(180.0) == F.lit(0.0))
     ).select(
         "doc_id", "p_num", "boxnum", "linenum", "x0", "y0", "x1", "y1",
         "rawtext", "font_size",

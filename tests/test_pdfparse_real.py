@@ -619,12 +619,136 @@ def test_tm_matrix_scaled_text():
     # text-space units times the matrix scale
     raw = (b"BT /F1 1 Tf 14 TL 10 0 0 10 72 700 Tm (first) Tj "
            b"T* (second) Tj (third) ' ET")
-    texts, _g = _parse_content(raw)
+    texts, _g, _im = _parse_content(raw)
     assert [(t[3], t[1], t[2]) for t in texts] == [
         ("first", 700.0, 10.0), ("second", 560.0, 10.0),
         ("third", 420.0, 10.0)]  # leading 14 text-space * scale 10
 
-    # rotated matrix: position honored, scale falls back to 1
-    texts2, _ = _parse_content(
+    # pure-rotation matrix: position honored, orientation classified
+    # (r6: rotated labels parse instead of falling back)
+    texts2, _, _ = _parse_content(
         b"BT /F1 10 Tf 0 1 -1 0 100 200 Tm (rot) Tj ET")
     assert texts2[0][:3] == (100.0, 200.0, 10.0)
+    assert texts2[0][5] == 90
+
+    # y-flip matrix (the `1 0 0 -1` idiom): NOT a rotation — falls
+    # back to scale 1 with a POSITIVE size (r5 advisor finding)
+    texts3, _, _ = _parse_content(
+        b"BT /F1 10 Tf 1 0 0 -1 100 200 Tm (flip) Tj ET")
+    assert texts3[0][:3] == (100.0, 200.0, 10.0)
+    assert texts3[0][5] == 0 and all(a > 0 for a in texts3[0][4])
+
+
+# ------------------------------------------------------------ round 6
+
+
+def test_rotated_text_elements():
+    """Rotated labels (pure 90/270° Tm): elements carry
+    mean_char_orientation and the bbox runs along the baseline
+    direction (reference tracks mean_char_orientation and drops 90°
+    boxes in the template, extract_textstructure.py:398-460)."""
+    pages = [{"texts": [(72.0, 700.0, 18.0, "Doc X"),
+                        (582.0, 200.0, 10.0, "SIDE", 90),
+                        (30.0, 500.0, 10.0, "EDGE", 270)]}]
+    for kw in ({}, {"compress": True}, {"encrypt": True}):
+        els = [r for r in pdf_elements_from_bytes(
+            build_tiny_pdf(pages, **kw), "d") if r["type"] == "Text"]
+        assert [r["mean_char_orientation"] for r in els] == [0.0, 90.0, 270.0]
+        side = els[1]
+        # 4 glyphs x 0.5 em x 10 pt = 20 advance along +y; height -> -x
+        assert (side["x0"], side["y0"], side["x1"], side["y1"]) == (
+            572.0, 200.0, 582.0, 220.0)
+        edge = els[2]
+        assert (edge["x0"], edge["y0"], edge["x1"], edge["y1"]) == (
+            30.0, 480.0, 40.0, 500.0)
+    # chars mode: per-glyph boxes stack along the advance direction
+    chars = [r for r in pdf_elements_from_bytes(
+        build_tiny_pdf(pages), "d", emit_chars=True)
+        if r["type"] == "Char" and r["mean_char_orientation"] == 90.0]
+    assert [c["y0"] for c in chars] == [200.0, 205.0, 210.0, 215.0]
+    assert all((c["x0"], c["x1"]) == (572.0, 582.0) for c in chars)
+
+
+def test_image_xobject_elements_and_extraction():
+    """Image XObjects surface as Image elements (bbox from the cm
+    placement, media_ref -> the stream bytes) and extract_pdf_images
+    yields the joined payload — decodable subset as BMP, plug-in
+    codecs (DCT) undecoded (reference: LTFigure -> Image elements,
+    pdf_utils.py:286-398)."""
+    from pydoxtools_spark.functions.media import parse_bmp
+    from pydoxtools_spark.functions.pdfparse import extract_pdf_images
+
+    pages = [
+        {"texts": [(72.0, 700.0, 18.0, "Doc X")],
+         "images": [(480.0, 500.0, 100.0, 80.0, "rgb", 8, 6, (10, 200, 30))]},
+        {"images": [(20.0, 20.0, 64.0, 48.0, "dct")]},
+    ]
+    for kw in ({}, {"compress": True, "use_tj": True}, {"encrypt": True},
+               {"encrypt": "aesv2"}):
+        blob = build_tiny_pdf(pages, **kw)
+        els = pdf_elements_from_bytes(blob, "d")
+        imgs = [r for r in els if r["type"] == "Image"]
+        assert len(imgs) == 2, kw
+        assert (imgs[0]["x0"], imgs[0]["y0"], imgs[0]["x1"],
+                imgs[0]["y1"]) == (480.0, 500.0, 580.0, 580.0)
+        assert imgs[0]["p_num"] == 0 and imgs[1]["p_num"] == 1
+        media = extract_pdf_images(blob)
+        assert len(media) == 2, kw
+        by_target = {t: (mt, w, h, c) for t, mt, w, h, c in media}
+        # elements join their bytes on the media_ref target
+        for r in imgs:
+            assert r["media_ref"].split("#")[1] in by_target
+        (mt, w, h, c) = by_target[imgs[0]["media_ref"].split("#")[1]]
+        assert (mt, w, h) == ("image/bmp", 8, 6)
+        bw, bh, px = parse_bmp(c)
+        assert (bw, bh) == (8, 6) and tuple(px[0, 0]) == (10, 200, 30)
+        (mt2, _w2, _h2, c2) = by_target[imgs[1]["media_ref"].split("#")[1]]
+        assert mt2 == "image/jpeg" and c2[:3] == b"\xff\xd8\xff"
+
+
+def test_image_in_page_template_via_bytes_path():
+    """A PDF image placed via the bytes path flows to a {Image_i}
+    placeholder in the span template (reference page-template
+    assertion shape, tests/test_extractor.py:668-674)."""
+    from pydoxtools_spark.functions.pdfparse import _content_streams_strict, _parse_content
+
+    pages = [{"texts": [(72.0, 700.0, 18.0, "Doc X")],
+              "images": [(480.0, 100.0, 100.0, 80.0)]}]
+    els = pdf_elements_from_bytes(build_tiny_pdf(pages), "d")
+    kinds = [r["type"] for r in els]
+    assert kinds == ["Text", "Image"]
+
+
+def test_corrupt_aes_stream_contained_as_encrypted_error():
+    """Decrypt-time AES failures (truncated payload -> bad stream
+    length / bad padding) raise PdfEncryptedError and must NOT fall
+    through to the lenient rung, which would emit ciphertext rows
+    (r5 advisor medium finding — message matching missed these)."""
+    from pydoxtools_spark.functions.pdfparse import PdfEncryptedError
+
+    import re as _re
+
+    blob = build_tiny_pdf(PAGES, encrypt="aesv2")
+    # shrink the declared /Length off the 16-byte AES grid: the
+    # decryptor's stream-length check fires (a real-world truncation)
+    m = _re.search(rb"/Length (\d+)", blob)
+    n = int(m.group(1))
+    corrupted = (blob[:m.start()] + b"/Length %d" % (n - 1)
+                 + blob[m.end():])
+    with pytest.raises(PdfEncryptedError):
+        pdf_elements_from_bytes(corrupted, "d")
+    # flipped ciphertext tail -> bad PKCS#7 padding, same containment
+    blob2 = bytearray(build_tiny_pdf(PAGES, encrypt="aesv2"))
+    end2 = blob2.find(b"\nendstream")
+    for i in range(end2 - 16, end2):
+        blob2[i] ^= 0xFF
+    try:
+        rows = pdf_elements_from_bytes(bytes(blob2), "d")
+        # if padding accidentally validates, rows must not be raw
+        # ciphertext of the whole stream (zlib would have failed ->
+        # PdfParseError -> encrypted containment); accept either
+        assert all(r["type"] in ("Text", "Graphic", "Image")
+                   for r in rows)
+    except PdfParseError as e:
+        assert isinstance(e, PdfEncryptedError) or "Flate" in str(e) \
+            or "stream" in str(e)
