@@ -270,6 +270,69 @@ def q_pdf_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF-embedded images end-to-end (r5 verdict item 3; the
+    reference surfaces every pdfminer LTFigure as an Image element,
+    pdf_utils.py:286-398): per doc a tiny PDF placing an image XObject
+    at an analytically known bbox (q/cm/Do through the CTM), every
+    3rd doc a /DCTDecode payload (plug-in codec passthrough), the
+    rest Flate /DeviceRGB (decodable).  Every 4th doc carries a
+    SECOND image.  parse_pdf_blobs must emit the Image element with
+    the placed bbox, pdf_media_blobs must surface the stream bytes,
+    and media_features must really decode the decodable subset
+    (width/height/mean luminance) while containing the plug-in codec
+    as a decode_error row — the oracle recomputes everything from the
+    generating parameters."""
+    from pydoxtools_spark.operators.multimodal import media_features
+    from pydoxtools_spark.pipeline import parse_pdf_blobs, pdf_media_blobs
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_blobs(batches):
+        import pandas as pd
+
+        from pydoxtools_spark.functions.pdfparse import build_tiny_pdf
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                x, y = 100.0 + (i % 7) * 40, 300.0 + (i % 5) * 30
+                w, h = 80.0 + (i % 3) * 20, 60.0 + (i % 2) * 20
+                if i % 3 == 0:
+                    img1 = (x, y, w, h, "dct", 8, 6)
+                else:
+                    img1 = (x, y, w, h, "rgb", 4 + i % 5, 3 + i % 3,
+                            (i % 200, 100, 50))
+                images = [img1]
+                if i % 4 == 0:
+                    images.append((420.0, 560.0, 60.0, 45.0, "rgb",
+                                   5, 4, (40, 90, i % 160)))
+                pages = [{"texts": [(72.0, 760.0, 14.0, f"Doc {i}")],
+                          "images": images}]
+                rows.append((str(i), build_tiny_pdf(
+                    pages, compress=True, use_tj=True)))
+            yield pd.DataFrame(rows, columns=["ref", "content"])
+
+    blobs = d.repartition(32).mapInPandas(
+        gen_blobs, "ref string, content binary")
+    els = parse_pdf_blobs(blobs).filter(F.col("type") == "Image").select(
+        "media_ref", F.round("x0", 4).alias("x0"),
+        F.round("y0", 4).alias("y0"), F.round("x1", 4).alias("x1"),
+        F.round("y1", 4).alias("y1"))
+    media = pdf_media_blobs(blobs).filter(F.col("error").isNull())
+    feats = media_features(media.select(
+        "media_ref", "media_type", "content",
+        F.lit(None).cast("map<string,string>").alias("meta")))
+    return els.join(feats, "media_ref").select(
+        F.split(F.col("media_ref"), "#")[0].cast("bigint").alias("doc_id"),
+        F.split(F.col("media_ref"), "#")[1].alias("target"),
+        "x0", "y0", "x1", "y1", "media_type",
+        "width", "height", "mean_level", "n_bytes",
+        F.col("decode_error").isNotNull().alias("decode_failed"),
+    )
+
+
 def q_pdf_table_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-fidelity chars-mode table extraction under the driver
     oracle: deterministic tiny PDFs with a title line + a 3x2 ruled
@@ -1799,6 +1862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         # new this round (must-record)
+        "pdf_images": q_pdf_images,
         "ocr_glyphs": q_ocr_glyphs,
         "blob_routing": q_blob_routing,
         "container_media": q_container_media,
@@ -2937,6 +3001,42 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, 1, 'text', 'scan ' || doc_id, NULL, 0 FROM documents
     """,
         "pdf_bytes": pdf_bytes_oracle,
+        "pdf_images": """
+    WITH img1 AS (
+      SELECT doc_id, 'xobj6' AS target,
+             CAST(100 + (doc_id % 7) * 40 AS DOUBLE) AS x0,
+             CAST(300 + (doc_id % 5) * 30 AS DOUBLE) AS y0,
+             CAST(100 + (doc_id % 7) * 40
+                  + 80 + (doc_id % 3) * 20 AS DOUBLE) AS x1,
+             CAST(300 + (doc_id % 5) * 30
+                  + 60 + (doc_id % 2) * 20 AS DOUBLE) AS y1,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+                  ELSE 'image/bmp' END AS media_type,
+             CASE WHEN doc_id % 3 = 0 THEN NULL
+                  ELSE 4 + doc_id % 5 END AS width,
+             CASE WHEN doc_id % 3 = 0 THEN NULL
+                  ELSE 3 + doc_id % 3 END AS height,
+             CASE WHEN doc_id % 3 = 0 THEN NULL
+                  ELSE (299 * (doc_id % 200) + 587 * 100 + 114 * 50)
+                       // 1000 END AS mean_level,
+             CASE WHEN doc_id % 3 = 0 THEN 26
+                  ELSE 54 + ((3 * (4 + doc_id % 5) + 3) // 4 * 4)
+                          * (3 + doc_id % 3) END AS n_bytes,
+             doc_id % 3 = 0 AS decode_failed
+      FROM documents
+    ), img2 AS (
+      SELECT doc_id, 'xobj7' AS target,
+             CAST(420.0 AS DOUBLE) AS x0, CAST(560.0 AS DOUBLE) AS y0,
+             CAST(480.0 AS DOUBLE) AS x1, CAST(605.0 AS DOUBLE) AS y1,
+             'image/bmp' AS media_type, 5 AS width, 4 AS height,
+             (299 * 40 + 587 * 90 + 114 * (doc_id % 160)) // 1000
+               AS mean_level,
+             54 + 16 * 4 AS n_bytes,
+             FALSE AS decode_failed
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT * FROM img1 UNION ALL SELECT * FROM img2
+    """,
         "pdf_table_chars": pdf_table_chars_oracle,
         "pdf_meta": """
     SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS n_pages,

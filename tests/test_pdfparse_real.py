@@ -706,17 +706,40 @@ def test_image_xobject_elements_and_extraction():
         assert mt2 == "image/jpeg" and c2[:3] == b"\xff\xd8\xff"
 
 
-def test_image_in_page_template_via_bytes_path():
-    """A PDF image placed via the bytes path flows to a {Image_i}
-    placeholder in the span template (reference page-template
-    assertion shape, tests/test_extractor.py:668-674)."""
-    from pydoxtools_spark.functions.pdfparse import _content_streams_strict, _parse_content
+def test_image_in_page_template_via_bytes_path(spark):
+    """A PDF image placed via the bytes path flows all the way to a
+    {Image_i} placeholder in the span template (reference page-template
+    assertion shape, tests/test_extractor.py:668-674): raw bytes ->
+    parse_pdf_blobs -> extract(pdf_blobs=...) image span with
+    media_ref -> span_template placeholder, and pdf_media_blobs joins
+    the span to its decoded bytes."""
+    import pyspark.sql.functions as F
+
+    from pydoxtools_spark.operators.templates import span_template
+    from pydoxtools_spark.pipeline import extract, pdf_media_blobs
 
     pages = [{"texts": [(72.0, 700.0, 18.0, "Doc X")],
               "images": [(480.0, 100.0, 100.0, 80.0)]}]
     els = pdf_elements_from_bytes(build_tiny_pdf(pages), "d")
-    kinds = [r["type"] for r in els]
-    assert kinds == ["Text", "Image"]
+    assert [r["type"] for r in els] == ["Text", "Image"]
+
+    blob = build_tiny_pdf(pages, compress=True)
+    blobs = spark.createDataFrame([("d", bytearray(blob))],
+                                  "ref string, content binary")
+    docs_in = spark.createDataFrame(
+        [("d", [("pdf_bytes", None, "d", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    out = extract(spark, docs_in, None, parallelism=2, pdf_blobs=blobs)
+    spans = out.select(F.explode("spans").alias("s")).select(
+        "s.kind", "s.media_ref").collect()
+    img = [r for r in spans if r["kind"] == "image"]
+    assert len(img) == 1 and img[0]["media_ref"] == "d#xobj6"
+    tpl = span_template(out).collect()[0]["template"]
+    assert "{Image_" in tpl and "Doc X" in tpl
+    media = pdf_media_blobs(blobs).collect()
+    assert [m["media_ref"] for m in media] == ["d#xobj6"]
+    assert media[0]["media_type"] == "image/bmp"
 
 
 def test_corrupt_aes_stream_contained_as_encrypted_error():
