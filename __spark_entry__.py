@@ -1246,9 +1246,13 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = e.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
-    return similarity.knn_graph(e.unionByName(clones), k=2, max_dist=0.1).select(
-        "src", "dst", "rank"
-    )
+    # exact=True pins the route the old auto-count always chose at
+    # driver scales (embeddings <= 2k rows) — the oracle is exact KNN,
+    # and the package no longer spends a count() job to route (r5
+    # verdict item 7; lazy stats routing covered by plan-assert pytest).
+    return similarity.knn_graph(
+        e.unionByName(clones), k=2, max_dist=0.1, exact=True
+    ).select("src", "dst", "rank")
 
 
 def q_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -314,8 +314,11 @@ def render_pdf_pages(blobs: DataFrame, scale: float = 0.25,
                     rows.append((did, None, None, None, None, None,
                                  f"{type(e).__name__}: {e}"))
                     continue
-                rows.extend(_paint_doc_pages(did, els, scale, max_pages,
-                                             glyphs, crop_top_pt))
+                rows.extend(_paint_doc_pages(
+                    did,
+                    [(e["p_num"], e["type"], e["x0"], e["y0"],
+                      e["x1"], e["y1"], e.get("rawtext")) for e in els],
+                    scale, max_pages, glyphs, crop_top_pt))
             yield pd.DataFrame(rows, columns=cols)
 
     return blobs.select(
@@ -327,7 +330,10 @@ def _paint_doc_pages(did, els, scale: float, max_pages: int | None,
                      glyphs: bool = False,
                      crop_top_pt: float | None = None):
     """One document's element rows -> PDF_RENDER row tuples (shared by
-    the from-bytes and elements-in rasterizers).
+    the from-bytes and elements-in rasterizers).  `els` is an iterable
+    of (p_num, type, x0, y0, x1, y1, rawtext) tuples — tuple rows, not
+    dicts, so the elements-in kernel can feed zipped numpy columns
+    without a per-row dict build (r5 verdict carry-over).
 
     Box mode (glyphs=False): text boxes gray 64, graphics 128, white
     page; x0/y0 floor, x1/y1 ceil, degenerate boxes keep a 1px
@@ -358,31 +364,31 @@ def _paint_doc_pages(did, els, scale: float, max_pages: int | None,
     wanted = ("Char", "Graphic") if glyphs else ("Text", "Graphic")
     pages: dict[int, list] = {}
     for r in els:
-        if r["type"] in wanted:
-            pages.setdefault(r["p_num"], []).append(r)
+        if r[1] in wanted:
+            pages.setdefault(r[0], []).append(r)
     page_nums = sorted(pages)
     if max_pages is not None:
         page_nums = page_nums[:max_pages]
     for p_num in page_nums:
         px = np.full((h_px, w_px, 3), 255, dtype=np.uint8)
-        for r in pages[p_num]:
-            if glyphs and r["type"] == "Char":
-                x0 = int(round(r["x0"] * scale))
-                x1 = int(round(r["x1"] * scale))
+        for _p, typ, ex0, ey0, ex1, ey1, rawtext in pages[p_num]:
+            if glyphs and typ == "Char":
+                x0 = int(round(ex0 * scale))
+                x1 = int(round(ex1 * scale))
                 # top-origin rows; the crop band's top is page top
-                yt = int(round((page_top - r["y1"]) * scale))
-                yb = int(round((page_top - r["y0"]) * scale))
+                yt = int(round((page_top - ey1) * scale))
+                yb = int(round((page_top - ey0) * scale))
                 if yb <= 0 or yt >= h_px or x1 <= 0 or x0 >= w_px:
                     continue  # outside the crop band
-                paint_glyph(px, ord(r["rawtext"][0]) if r["rawtext"]
+                paint_glyph(px, ord(rawtext[0]) if rawtext
                             else 0, x0, x1, yt, yb)
                 continue
-            x0 = max(0, int(np.floor(r["x0"] * scale)))
-            x1 = min(w_px, int(np.ceil(r["x1"] * scale)))
+            x0 = max(0, int(np.floor(ex0 * scale)))
+            x1 = min(w_px, int(np.ceil(ex1 * scale)))
             # top-origin rows (equals the bottom-up slice when
             # PAGE_H*scale is integral; crop band top = page top)
-            y0r = int(np.floor((page_top - r["y1"]) * scale))
-            y1r = int(np.ceil((page_top - r["y0"]) * scale))
+            y0r = int(np.floor((page_top - ey1) * scale))
+            y1r = int(np.ceil((page_top - ey0) * scale))
             if y0r >= h_px or y1r < 0:
                 continue  # wholly outside the crop band
             y0, y1 = max(0, y0r), min(h_px, y1r)
@@ -392,7 +398,7 @@ def _paint_doc_pages(did, els, scale: float, max_pages: int | None,
                 x1 = min(w_px, x0 + 1)
             if y1 <= y0:
                 y1 = min(h_px, y0 + 1)
-            level = 64 if r["type"] == "Text" else 128
+            level = 64 if typ == "Text" else 128
             px[y0:y1, x0:x1] = level
         n_dark = int((px[:, :, 0] != 255).sum())
         rows.append((did, int(p_num), w_px, h_px, n_dark,
@@ -432,34 +438,45 @@ def render_pdf_pages_from_elements(elements: DataFrame, scale: float = 0.25,
         .sortWithinPartitions("doc_id", "p_num")
     out_cols = [f.name for f in PDF_RENDER.fields]
 
-    def kernel(batches):
-        cur_id = None
-        cur_rows: list[dict] = []
+    tuple_cols = ["p_num", "type", "x0", "y0", "x1", "y1"]
 
-        def flush():
-            if cur_id is None or not cur_rows:
-                return []
-            if any(r["type"] == "ParseError" for r in cur_rows):
-                return [(cur_id, None, None, None, None, None,
+    def kernel(batches):
+        import numpy as np
+
+        def paint_run(sub):
+            did = sub["doc_id"].iat[0]
+            typ = sub["type"]
+            if (typ == "ParseError").any():
+                return [(did, None, None, None, None, None,
                          "pdf parse failed upstream (ParseError "
                          "element row)")]
-            return _paint_doc_pages(cur_id, cur_rows, scale, max_pages,
+            raw = (sub["rawtext"].to_numpy() if glyphs
+                   else np.full(len(sub), None, dtype=object))
+            els = zip(*(sub[c].to_numpy() for c in tuple_cols), raw)
+            return _paint_doc_pages(did, els, scale, max_pages,
                                     glyphs, crop_top_pt)
 
+        buf = None  # trailing (possibly batch-spanning) doc run
         for pdf in batches:
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            # numpy run-split on the sorted doc ids (no per-row loop)
+            cut = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+            starts = np.concatenate(([0], cut))
             out = []
-            for rec in pdf.to_dict("records"):
-                did = rec["doc_id"]
-                if did != cur_id:
-                    out.extend(flush())
-                    cur_rows = []
-                    cur_id = did
-                cur_rows.append(rec)
+            for s, e in zip(starts[:-1], starts[1:]):
+                out.extend(paint_run(pdf.iloc[s:e]))
+            buf = pdf.iloc[starts[-1]:]
             if out:
                 yield pd.DataFrame(out, columns=out_cols)
-        tail = flush()
-        if tail:
-            yield pd.DataFrame(tail, columns=out_cols)
+        if buf is not None and len(buf):
+            tail = paint_run(buf)
+            if tail:
+                yield pd.DataFrame(tail, columns=out_cols)
 
     return proj.mapInPandas(kernel, PDF_RENDER)
 

@@ -223,21 +223,40 @@ KNN_EXACT_MAX = 100_000
 def knn_graph(corpus: DataFrame, k: int = 4, max_dist: float = 0.2,
               id_col: str = "vec_id", vec_col: str = "embedding",
               exact: bool | None = None,
-              exact_max: int = KNN_EXACT_MAX, dim: int = 64) -> DataFrame:
+              exact_max: int = KNN_EXACT_MAX, dim: int = 64,
+              size_hint: int | None = None) -> DataFrame:
     """Similarity graph edges: each vector's k nearest cosine neighbors
     with distance (1-cos) <= max_dist — the reference's SimilarityGraph
     semantics (extract_index.py:163-196) relationally.
 
-    SIZE-GATED: the exact form broadcasts the full corpus as the query
-    side (O(N^2) score work) — correct for the reference's
+    SIZE-GATED, ZERO-ACTION: the exact form broadcasts the full corpus
+    as the query side (O(N^2) score work) — correct for the reference's
     per-document-set scope (a few thousand text pieces), a scale-killer
-    beyond ~100k vectors.  With exact=None (default) the corpus is
-    counted once (one cheap action vs an accidental O(N^2) job) and
-    anything above `exact_max` auto-routes to knn_graph_lsh — bucketed
-    candidates, no broadcast, recall < 1 by design.  Pass exact=True to
-    pin the exact form (skips the count), exact=False to force LSH."""
+    beyond ~100k vectors.  Anything above `exact_max` auto-routes to
+    knn_graph_lsh — bucketed candidates, no broadcast, recall < 1 by
+    design.  Routing with exact=None spends NO Spark job: it uses
+    `size_hint` (caller-known row count) when given, else Catalyst's
+    optimized-plan statistics — the exact rowCount when the plan carries
+    one, else a row estimate of sizeInBytes / (8*dim).  That estimate is
+    a deliberate UNDER-estimate of bytes-per-row (vectors alone), so it
+    OVER-estimates rows and errs toward LSH: the failure mode is
+    recall < 1, never an accidental O(N^2) broadcast (unestimable leaf
+    nodes default to Long.Max sizeInBytes -> LSH, same bias).  Pass
+    exact=True to pin the exact form, exact=False to force LSH."""
     if exact is None:
-        exact = corpus.count() <= exact_max
+        if size_hint is not None:
+            exact = size_hint <= exact_max
+        else:
+            stats = corpus._jdf.queryExecution().optimizedPlan().stats()
+            rc = stats.rowCount()
+
+            def _num(v):  # py4j hands back int or scala.math.BigInt
+                return float(v) if isinstance(v, (int, float)) \
+                    else float(v.toString())
+
+            n = (_num(rc.get()) if rc.isDefined()
+                 else _num(stats.sizeInBytes()) / (8 * dim))
+            exact = n <= exact_max
     if not exact:
         return knn_graph_lsh(corpus, k=k, max_dist=max_dist,
                              id_col=id_col, vec_col=vec_col, dim=dim)

@@ -526,6 +526,33 @@ def test_knn_graph_size_gate_routes_to_lsh(spark):
     assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, lsh.collect()))
 
 
+def test_knn_graph_auto_route_spends_no_job(spark):
+    """Routing with exact=None must not run a Spark job (r5 verdict
+    item 7: the count() at similarity.py:240 was the package's last
+    eager action): plan construction under a fresh job group leaves the
+    group with zero job ids, for both the stats path and size_hint."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(20)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    sc = spark.sparkContext
+    sc.setJobGroup("knn-route-probe", "must stay empty")
+    try:
+        g1 = similarity.knn_graph(e, k=2, dim=16)
+        g2 = similarity.knn_graph(e, k=2, dim=16, size_hint=20)
+        g3 = similarity.knn_graph(e, k=2, dim=16, size_hint=10**7)
+        assert sc.statusTracker().getJobIdsForGroup("knn-route-probe") == []
+    finally:
+        sc.cancelJobGroup("knn-route-probe")
+    # hinted routes are pinned: small hint -> exact plan shape, huge
+    # hint -> LSH (no corpus broadcast)
+    p3 = g3._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in p3
+    assert sorted(map(tuple, g1.collect())) == sorted(map(tuple, g2.collect()))
+
+
 def test_minhash_storage_path_written_table(spark, tmp_path):
     """storage_path materializes signatures as a written parquet table:
     the band/verify plan must READ from it (executor-loss-safe form)
