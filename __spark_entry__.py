@@ -1790,8 +1790,9 @@ def q_blob_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_container_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedded container media end-to-end (r4 verdict item 6; the
     reference extracts docx media via pandoc, extract_pandoc.py:98-167):
-    per doc a docx embedding a solid-color BMP of analytically known
-    size/color -> container_media_blobs surfaces the bytes ->
+    per doc a docx — every 4th an rtf with a hex \\pict payload (r5
+    verdict item 6) — embedding a solid-color BMP of analytically
+    known size/color -> container_media_blobs surfaces the bytes ->
     media_features REALLY decodes them.  The oracle recomputes
     width/height, the exact BMP byte size (54-byte headers + padded
     rows) and the integer luminance mean from the generating
@@ -1807,6 +1808,7 @@ def q_container_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from pydoxtools_spark.functions.docx import build_tiny_docx
         from pydoxtools_spark.functions.media import build_bmp
+        from pydoxtools_spark.functions.rtf import build_tiny_rtf
 
         for pdf in batches:
             rows = []
@@ -1815,12 +1817,16 @@ def q_container_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 4 + i % 5, 3 + i % 3
                 px = np.empty((h, w, 3), dtype=np.uint8)
                 px[:, :] = (i % 200, 100, 50)
-                docx = build_tiny_docx([
+                blocks = [
                     ("header", f"Doc {i}", 1),
                     ("image", "media/img1.bmp", build_bmp(px)),
                     ("text", f"body {i}"),
-                ])
-                rows.append((str(i), docx))
+                ]
+                # every 4th doc is an rtf \pict container (r5 verdict
+                # item 6): same media path, positional pict1 target
+                blob = (build_tiny_rtf(blocks) if i % 4 == 3
+                        else build_tiny_docx(blocks))
+                rows.append((str(i), blob))
             yield pd.DataFrame(rows, columns=["ref", "content"])
 
     blobs = d.repartition(32).mapInPandas(
@@ -3188,7 +3194,8 @@ def oracle_sql() -> dict[str, str]:
     """,
         "container_media": """
     SELECT doc_id,
-           'media/img1.bmp' AS target,
+           CASE WHEN doc_id % 4 = 3 THEN 'pict1'
+                ELSE 'media/img1.bmp' END AS target,
            4 + doc_id % 5 AS width,
            3 + doc_id % 3 AS height,
            (299 * (doc_id % 200) + 587 * 100 + 114 * 50) // 1000

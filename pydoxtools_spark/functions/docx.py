@@ -234,8 +234,14 @@ def extract_container_media(data: bytes) -> list[tuple[str, bytes]]:
 
     docx: rels-declared image targets (word/_rels/document.xml.rels)
     resolved against word/; odt/epub: the conventional media
-    directories (Pictures/, OEBPS/images/).  Order = zip entry order
-    (deterministic: the writers emit fixed layouts)."""
+    directories (Pictures/, OEBPS/images/); rtf (r6, content-probed
+    like every container dispatch): hex \\pict payloads with the
+    positional pict{n} targets the image spans carry.  Order = zip
+    entry order (deterministic: the writers emit fixed layouts)."""
+    from .rtf import extract_rtf_media, is_rtf
+
+    if is_rtf(data):
+        return extract_rtf_media(data)
     out: list[tuple[str, bytes]] = []
     seen: set[str] = set()
     try:

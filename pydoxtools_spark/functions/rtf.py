@@ -18,17 +18,35 @@ ordinary word-processor output, from public-spec knowledge:
                 list span (the docx-numId convention, so the
                 cross-format property holds) — r5, closing the r4
                 subset gap
+  images        `{\pict ...hexdata}` groups (r6, closing the last
+                container-media gap — reference parity
+                extract_pandoc.py:98-167): a paragraph containing a
+                pict becomes ONE image span, media_ref = positional
+                'pict{n}' (RTF has no named parts; numbering is
+                document order, 1-based), mirroring the docx
+                image-paragraph rule.  The hex payload surfaces via
+                extract_rtf_media -> container_media_blobs.  Word's
+                dual emission `{\*\shppict{\pict..}}{\nonshppict
+                {\pict..}}` yields exactly ONE image: the \* copy is
+                destination-skipped, the unknown-word nonshppict
+                fallthrough parses.  `\binN` binary payloads are out
+                of subset (hex only).
 
 Block -> span mapping matches the docx/odt/markdown branches (same
 KIND_*, norm_ws / list_to_text / table_to_text canonical forms).
-Images remain out of the subset (RTF embeds them as hex \pict blobs).
 """
 
 from __future__ import annotations
 
 import re
 
-from ..constants import KIND_HEADER, KIND_LIST, KIND_TABLE, KIND_TEXT
+from ..constants import (
+    KIND_HEADER,
+    KIND_IMAGE,
+    KIND_LIST,
+    KIND_TABLE,
+    KIND_TEXT,
+)
 from .spantext import list_to_text, norm_ws, table_to_text
 
 
@@ -61,7 +79,7 @@ def _join_surrogates(s: str) -> str:
 
 
 _SKIP_DESTINATIONS = {
-    b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
+    b"fonttbl", b"colortbl", b"stylesheet", b"info",
     b"themedata", b"listtable", b"listoverridetable", b"generator",
     # list markers: the group TEXT is the rendered bullet/number, the
     # MARKER ITSELF flags the paragraph as a list item (handled at the
@@ -70,8 +88,15 @@ _SKIP_DESTINATIONS = {
 }
 
 
-def extract_rtf_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
-    """RTF bytes -> ordered (kind, text, media_ref) spans."""
+def extract_rtf_spans(
+    data: bytes,
+    media_out: list[tuple[str, bytes]] | None = None,
+) -> list[tuple[str, str | None, str | None]]:
+    """RTF bytes -> ordered (kind, text, media_ref) spans.  Pass a
+    list as `media_out` to also collect (target, payload) for every
+    \\pict with a non-empty valid-hex payload — ONE walk assigns the
+    positional pict{n} targets, so span media_refs and media rows can
+    never drift apart."""
     if not is_rtf(data):
         raise RtfParseError("not rtf (missing {\\rtf header)")
 
@@ -84,6 +109,11 @@ def extract_rtf_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
     para_ls: str | None = None   # this paragraph's list id (\ls / \pn)
     list_items: list[str] = []
     list_id: str | None = None
+    para_pict: str | None = None  # this paragraph's image target
+    n_picts = 0
+    pict_buf: list[bytes] | None = None  # hex payload capture
+    pict_target: str | None = None
+    pict_depth = 0
 
     # group state stack: (skipping, uc_fallback_count)
     stack: list[tuple[bool, int]] = []
@@ -104,12 +134,34 @@ def extract_rtf_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
             list_items.clear()
         list_id = None
 
+    def finalize_pict():
+        nonlocal pict_buf, pict_target
+        if pict_buf is None:
+            return
+        hexstr = b"".join(pict_buf).translate(None, b" \t\r\n")
+        try:
+            payload = bytes.fromhex(hexstr.decode("latin-1"))
+        except ValueError:
+            payload = b""  # bad hex: keep the span, drop the bytes
+        if media_out is not None and payload:
+            media_out.append((pict_target, payload))
+        pict_buf, pict_target = None, None
+
     def flush_para():
-        nonlocal header_level, para_ls, list_id
+        nonlocal header_level, para_ls, list_id, para_pict
         t = _join_surrogates(norm_ws("".join(para)))
         para.clear()
         if not in_table:
             flush_table()
+        if para_pict is not None:
+            # docx image-paragraph rule (_para_image_ref): the whole
+            # paragraph becomes one image span, its text is dropped
+            flush_list()
+            spans.append((KIND_IMAGE, None, para_pict))
+            para_pict = None
+            para_ls = None
+            header_level = None
+            return
         if para_ls is not None and header_level is None:
             # docx-numId convention: adjacent items sharing a list id
             # are ONE list; an id change starts a new span
@@ -151,8 +203,12 @@ def extract_rtf_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
             else:
                 if stack:
                     skipping, uc = stack.pop()
+                if pict_buf is not None and len(stack) < pict_depth:
+                    finalize_pict()  # the pict group just closed
             continue
         if skipping:
+            if pict_buf is not None and text is not None:
+                pict_buf.append(text)  # hex payload run
             continue
         if hexesc is not None:
             emit_text(bytes([int(hexesc, 16)]).decode("latin-1"))
@@ -179,6 +235,13 @@ def extract_rtf_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
             if w in (b"listtext", b"pntext"):
                 para_ls = para_ls or "_marker"
             skipping = True
+        elif w == b"pict":
+            n_picts += 1
+            para_pict = f"pict{n_picts}"
+            pict_target = para_pict
+            pict_buf = []
+            pict_depth = len(stack)  # depth of the pict group itself
+            skipping = True  # payload/props never leak into para text
         elif w == b"uc":
             uc = n or 0
         elif w == b"u":
@@ -215,10 +278,22 @@ def extract_rtf_spans(data: bytes) -> list[tuple[str, str | None, str | None]]:
             row = []
         # all other control words: formatting, ignored
         # (\pard handled above: resets \intbl and the list marker)
+    finalize_pict()  # unclosed pict group at EOF
     flush_para()
     flush_list()
     flush_table()
     return spans
+
+
+def extract_rtf_media(data: bytes) -> list[tuple[str, bytes]]:
+    """RTF bytes -> [(target, payload)] for every embedded \\pict —
+    the same signature as docx.extract_container_media, so rtf blobs
+    flow through container_media_blobs like any zip container.
+    Targets are the positional pict{n} the image spans carry (one
+    shared walk with extract_rtf_spans — numbering cannot drift)."""
+    media: list[tuple[str, bytes]] = []
+    extract_rtf_spans(data, media_out=media)
+    return media
 
 
 # ------------------------------------------------------------------ writer
@@ -276,6 +351,14 @@ def build_tiny_rtf(blocks: list[tuple]) -> bytes:
                     f"\\cellx{1000 * (i + 1)}" for i in range(len(r)))
                 body.append(f"\\trowd{cellx}{cells}\\row ")
             body.append("{\\pard\\par}")
+        elif kind == "image":
+            # ("image", target[, payload]) — the docx/odt writer shape;
+            # RTF has no named parts, so the target is ignored and the
+            # reader assigns positional pict{n}.  The blip word is
+            # cosmetic in the subset: consumers probe content magic.
+            payload = blk[2] if len(blk) > 2 else b""
+            body.append("{\\pard{\\pict\\pngblip "
+                        + payload.hex() + "}\\par}")
         else:
             raise ValueError(f"unsupported rtf block kind: {kind}")
     doc = ("{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Helvetica;}}\n"

@@ -330,6 +330,16 @@ def test_cross_format_block_mapping_property():
         plain = [b for b in gen_blocks(rng, with_rich=False)]
         assert (extract_rtf_spans(build_tiny_rtf(plain))
                 == extract_docx_spans(build_tiny_docx(plain))), seed
+        # rtf images (r6): same (kind, text) stream as docx on the
+        # RICH blocks; media_refs are positional pict{n} by design
+        # (RTF has no named parts)
+        rtf_rich = extract_rtf_spans(build_tiny_rtf(rich))
+        docx_rich = extract_docx_spans(build_tiny_docx(rich))
+        assert ([(k, t) for k, t, _ in rtf_rich]
+                == [(k, t) for k, t, _ in docx_rich]), seed
+        img_refs = [r for k, _, r in rtf_rich if k == "image"]
+        assert img_refs == [f"pict{i + 1}"
+                            for i in range(len(img_refs))], seed
 
     check()
 
@@ -464,6 +474,59 @@ def test_docx_embedded_media_to_features(spark):
     ).collect()
     assert [(f["width"], f["height"], f["decode_error"]) for f in feats] == [
         (6, 4, None)]
+
+
+def test_rtf_embedded_media_to_features(spark):
+    """rtf \\pict payloads flow the same container-media path as docx
+    (r5 verdict item 6, the last container-media gap): image span with
+    positional pict{n} media_ref, bytes through container_media_blobs
+    (content-probed, same blob frame as the zip containers), real
+    decode via media_features.  Word's dual shppict/nonshppict
+    emission yields exactly one image; bad hex keeps the span and
+    drops the bytes."""
+    import numpy as np
+
+    from pydoxtools_spark.functions.media import build_bmp
+    from pydoxtools_spark.functions.rtf import (
+        build_tiny_rtf,
+        extract_rtf_media,
+        extract_rtf_spans,
+    )
+    from pydoxtools_spark.operators.multimodal import media_features
+    from pydoxtools_spark.pipeline import container_media_blobs
+
+    px = np.full((3, 5, 3), 90, dtype=np.uint8)
+    rtf = build_tiny_rtf([
+        ("header", "T", 1),
+        ("image", "ignored-target", build_bmp(px)),
+        ("text", "body"),
+    ])
+    assert [(k, r) for k, _, r in extract_rtf_spans(rtf)] == [
+        ("header", None), ("image", "pict1"), ("text", None)]
+
+    blobs = spark.createDataFrame(
+        [("b://r", bytearray(rtf))], "ref string, content binary")
+    media = container_media_blobs(blobs).collect()
+    assert [(m["ref"], m["target"], m["media_ref"], m["error"])
+            for m in media] == [("b://r", "pict1", "b://r#pict1", None)]
+    feats = media_features(
+        container_media_blobs(blobs).filter("error IS NULL").select(
+            "media_ref", "media_type", "content",
+            F.lit(None).cast("map<string,string>").alias("meta"))
+    ).collect()
+    assert [(f["width"], f["height"], f["decode_error"])
+            for f in feats] == [(5, 3, None)]
+
+    # Word dual emission: \*\shppict copy skipped, nonshppict parsed
+    raw = (rb"{\rtf1\ansi{\pard t\par}"
+           rb"{\*\shppict{\pict\pngblip AA}}"
+           rb"{\nonshppict{\pict\pngblip FF}}\par}")
+    assert [(k, r) for k, _, r in extract_rtf_spans(raw)] == [
+        ("text", None), ("image", "pict1")]
+    assert extract_rtf_media(raw) == [("pict1", b"\xff")]
+    bad = rb"{\rtf1{\pard{\pict\pngblip ZZZ}\par}}"
+    assert [k for k, _, _ in extract_rtf_spans(bad)] == ["image"]
+    assert extract_rtf_media(bad) == []
 
 
 def test_docx_page_headers_footers():
