@@ -627,7 +627,8 @@ def q_pdf_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     PDFs render through the box-level rasterizer to real BMPs; the
     integer floor/ceil pixel convention makes the darkened-pixel count
     analytically computable from the known layout (one 18pt text box
-    at (72, 700) whose width is 0.5 em/char)."""
+    at (72, 700) whose width is the real-AFM Helvetica advance sum —
+    'Doc ' = 2056 width units, digits 556 each; r5 verdict item 5)."""
     from pydoxtools_spark.operators.multimodal import render_pdf_pages
 
     d = _docs(spark, sf_dir).select("doc_id")
@@ -1715,9 +1716,13 @@ def q_ocr_glyphs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 texts = [(72.0, 760.0, 12.0, f"Doc {doc_id}")]
                 if body:
                     texts.append((72.0, 736.0, 12.0, body))
+                # widths='halfem' pins the frozen 0.5-em advance model
+                # the glyph decoder's pitch contract requires (r6:
+                # bare Helvetica now parses with real AFM widths)
                 rows.append((str(doc_id),
                              build_tiny_pdf([{"texts": texts}],
-                                            compress=True, use_tj=True)))
+                                            compress=True, use_tj=True,
+                                            widths="halfem")))
             yield pd.DataFrame(rows, columns=["doc_id", "content"])
 
     blobs = d.repartition(32).mapInPandas(
@@ -1849,16 +1854,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     SCHEDULE — every query gets a green driver row within any trailing
     two rounds:
 
-      window A (recorded in EVEN verdict rounds, r4): the SURVEY
-        S2-mapped extraction/text/events/curation operators;
-      window B (recorded in ODD verdict rounds, r5 = THIS round's
-        first 50): the TPC-H relational tier (q5/q6 first — the only
-        two queries without a prior driver row), the similarity/dedup/
-        textrank tier parked in r4, queries whose code changed this
-        round (pdf_bytes, pdf_meta, pdf_render, ocr_spans, docx_spans,
-        rtf_spans, lang_id, media_features), and the flagship
-        extraction chain;
-      positions 51+: window-A queries green in CORRECTNESS_r04 with
+      window A (recorded in EVEN verdict rounds, r4/r6 = THIS round's
+        first 50): the SURVEY S2-mapped extraction/text/events/
+        curation operators, led by this round's must-record set —
+        `pdf_images` (new) and every query whose code changed in r6
+        (pdfparse image XObjects + rotated text + real-AFM Helvetica
+        widths; rtf \\pict; pipeline magic probes; multimodal numpy
+        run-split; knn_graph zero-action routing; pdflayout template
+        orientation drop);
+      window B (recorded in ODD verdict rounds, r5): the TPC-H
+        relational tier, the similarity/dedup/textrank tier, and the
+        flagship extraction chain;
+      positions 51+: window-B queries green in CORRECTNESS_r05 with
         unchanged code (judge re-runs via tests/test_oracles.py, which
         sweeps ALL entries regardless of order).
 
@@ -1866,60 +1873,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     changed-code) come FIRST so a tighter-than-expected driver budget
     cuts into already-green fill instead."""
     return {
-        # ---- window B: recorded this round (first ~50) ----
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        # new this round (must-record)
+        # ---- r6 must-record: new or changed-code this round ----
         "pdf_images": q_pdf_images,
-        "ocr_glyphs": q_ocr_glyphs,
-        "blob_routing": q_blob_routing,
-        "container_media": q_container_media,
-        "minhash_fast": q_minhash_fast,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "minhash_signature": q_minhash_signature,
-        "simhash": q_simhash,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "dedup_groups": q_dedup_groups,
-        "hash_embeddings": q_hash_embeddings,
-        "ann_topk": q_ann_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "knn_graph_lsh": q_knn_graph_lsh,
-        "knn_graph": q_knn_graph,
-        "textrank_keywords": q_textrank_keywords,
-        "textrank_summary": q_textrank_summary,
         "pdf_bytes": q_pdf_bytes,
         "pdf_meta": q_pdf_meta,
         "pdf_render": q_pdf_render,
-        "ocr_spans": q_ocr_spans,
-        "docx_spans": q_docx_spans,
-        "rtf_spans": q_rtf_spans,
-        "lang_id": q_lang_id,
-        "media_features": q_media_features,
-        "html_main_content": q_html_main_content,
-        "html_meta": q_html_meta,
-        "full_text": q_full_text,
-        "sections": q_sections,
-        "text_paragraph_spans": q_text_paragraph_spans,
-        "markdown_spans": q_markdown_spans,
-        "wiki_spans": q_wiki_spans,
-        "odt_spans": q_odt_spans,
-        "epub_spans": q_epub_spans,
         "pdf_table_chars": q_pdf_table_chars,
-        "textonly_tables": q_textonly_tables,
         "page_template": q_page_template,
         "area_context": q_area_context,
-        "bbox_query": q_bbox_query,
-        "bbox_intersect": q_bbox_intersect,
-        "doc_type_dispatch": q_doc_type_dispatch,
-        "token_stats": q_token_stats,
-        "file_meta": q_file_meta,
-        "quality_score": q_quality_score,
-        "fingerprint": q_fingerprint,
-        "meta_merge": q_meta_merge,
-        "text_pieces": q_text_pieces,
-        # ---- window A: r4-green, parked this round ----
+        "ocr_glyphs": q_ocr_glyphs,
+        "ocr_spans": q_ocr_spans,
+        "rtf_spans": q_rtf_spans,
+        "container_media": q_container_media,
+        "blob_routing": q_blob_routing,
+        "media_features": q_media_features,
+        "knn_graph": q_knn_graph,
+        "knn_graph_lsh": q_knn_graph_lsh,
+        "docx_spans": q_docx_spans,
+        # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
         "page_class": q_page_class,
@@ -1940,6 +1911,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "duplicated_windows": q_duplicated_windows,
         "drop_duplicated_windows": q_drop_duplicated_windows,
+        # ---- window-A fill to ~50 (extraction flagships) ----
+        "html_main_content": q_html_main_content,
+        "html_meta": q_html_meta,
+        "full_text": q_full_text,
+        "sections": q_sections,
+        "text_paragraph_spans": q_text_paragraph_spans,
+        "doc_type_dispatch": q_doc_type_dispatch,
+        "lang_id": q_lang_id,
+        "token_stats": q_token_stats,
+        "bbox_query": q_bbox_query,
+        "bbox_intersect": q_bbox_intersect,
+        "textonly_tables": q_textonly_tables,
+        "markdown_spans": q_markdown_spans,
+        "fingerprint": q_fingerprint,
+        "meta_merge": q_meta_merge,
+        # ---- window B: r5-green with unchanged code, parked ----
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "wiki_spans": q_wiki_spans,
+        "odt_spans": q_odt_spans,
+        "epub_spans": q_epub_spans,
+        "file_meta": q_file_meta,
+        "quality_score": q_quality_score,
+        "text_pieces": q_text_pieces,
+        "minhash_fast": q_minhash_fast,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_signature": q_minhash_signature,
+        "simhash": q_simhash,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_groups": q_dedup_groups,
+        "hash_embeddings": q_hash_embeddings,
+        "ann_topk": q_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "textrank_keywords": q_textrank_keywords,
+        "textrank_summary": q_textrank_summary,
     }
 
 
@@ -2985,8 +2993,12 @@ def oracle_sql() -> dict[str, str]:
            length(h1) + length(t) + length(h2) FROM x
     """,
         "pdf_render": """
+    -- r6 real-AFM Helvetica: 'Doc ' = 722+556+500+278 = 2056 width
+    -- units, every digit 556; box px width = ceil(x1*0.25) - 18 with
+    -- x1 = 72 + 18/1000 * (2056 + 556*n_digits); 5 px rows at 18 pt
     SELECT doc_id, 0 AS p_num, 153 AS width, 198 AS height,
-           CAST(5 * ceil(2.25 * length('Doc ' || doc_id)) AS INT) AS n_dark
+           CAST(5 * ceil(0.0045 * (2056 + 556 * length(CAST(doc_id AS
+             VARCHAR)))) AS INT) AS n_dark
     FROM documents
     """,
         "rtf_spans": r"""

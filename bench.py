@@ -38,6 +38,8 @@ HEADLINE = [
     "pdf_bytes",              # raw-bytes parse + repair ladder + layout (r2)
                               #   (Flate+TJ + rotating PDF 1.5 since r4)
     "pdf_render",             # box-level page rasterization (r4)
+    "pdf_images",             # image XObjects -> Image elements ->
+                              #   media_features decode (r6)
     "blob_routing",           # magic/zip/text ingestion dispatch (r5)
                               # (ocr_glyphs stays out of the suite: 5000
                               # scale-2 glyph rasters ~2 min at sf0.1;
@@ -117,7 +119,7 @@ PY_CANARY_BASELINE_SEC = 0.75
 PY_KERNEL_QUERIES = {
     "html_main_content", "html_meta", "text_paragraph_spans",
     "markdown_spans", "docx_spans", "pdf_bytes", "pdf_render",
-    "blob_routing", "pdf_table_chars", "ocr_glyphs",
+    "pdf_images", "blob_routing", "pdf_table_chars", "ocr_glyphs",
 }
 
 

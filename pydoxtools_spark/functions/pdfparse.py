@@ -44,11 +44,13 @@ verification — password-protected files error instead of salvaging
 ciphertext).  Still plug-in territory: DCT/JBIG2/CCITT image codecs,
 AES (R4+) encryption, vertical/rotated text (the reference pins
 detect_vertical=False, pdf_utils.py:201).
-The HELVETICA dialect deliberately stays on the 0.5-em heuristic when
-no /Widths array is present: the entire fixture/oracle geometry
-(goldens-by-construction, the hand-derived bbox constants in the
-driver oracles) is pinned to that advance model — embed /Widths
-(e.g. widths='afm') to get AFM-exact Helvetica instead.
+Round 6: Helvetica without /Widths resolves through the REAL AFM
+table (the 0.5-em heuristic applies only to fonts outside the
+standard-14 subset) — real-world Helvetica PDFs get exact extents.
+Fixture geometry that must stay on the frozen 0.5-em advance model
+(the glyph-raster decoder's pitch contract) opts in EXPLICITLY with
+build_tiny_pdf(widths='halfem'), which embeds /Widths [500 x 95];
+build_pdf_cid's /DW 500 is the CID twin of the same dialect.
 """
 
 from __future__ import annotations
@@ -87,8 +89,16 @@ TIMES_WIDTHS = {chr(32 + i): w for i, w in enumerate(_TIMES_W)}
 def glyph_width(ch: str, size: float, base_font: str | None = None,
                 widths: dict[int, int] | None = None) -> float:
     """Advance width of one glyph in text-space units.  Resolution
-    order: embedded /Widths array -> standard-14 AFM (Courier/Times)
-    -> the legacy 0.5-em fixture dialect (Helvetica and unknowns)."""
+    order: embedded /Widths array -> standard-14 AFM (Helvetica/
+    Courier/Times) -> the 0.5-em heuristic (unknown fonts only).
+
+    r6: Helvetica without /Widths now resolves through the real AFM
+    table like Courier/Times — a real-world Helvetica PDF gets exact
+    extents (this was the biggest single real-world fidelity gap, r5
+    verdict item 5).  The frozen 0.5-em geometry the glyph-raster
+    decoder needs survives as an EXPLICIT dialect: build_tiny_pdf
+    (widths='halfem') embeds /Widths [500 x 95], which wins here via
+    the embedded-array branch — no heuristic involved."""
     if widths:
         w = widths.get(ord(ch))
         if w is not None:
@@ -98,6 +108,10 @@ def glyph_width(ch: str, size: float, base_font: str | None = None,
             return 0.6 * size
         if base_font.startswith("Times"):
             w = TIMES_WIDTHS.get(ch)
+            if w is not None:
+                return w / 1000.0 * size
+        if base_font.startswith("Helvetica"):
+            w = HELVETICA_WIDTHS.get(ch)
             if w is not None:
                 return w / 1000.0 * size
     return CHAR_EM * size
@@ -202,7 +216,11 @@ def build_tiny_pdf(
                  zero kern — byte-different, layout-identical to Tj)
       font       BaseFont for /F1 (e.g. 'Courier', 'Times-Roman')
       widths     'afm' embeds the standard-14 AFM /Widths array for
-                 `font` (switches the reader to AFM-exact advances)
+                 `font`; 'halfem' embeds /Widths [500 x 95] — the
+                 frozen 0.5-em fixture dialect, made explicit (the
+                 glyph-raster decoder's pitch depends on it; without
+                 a /Widths array the reader now uses real AFM
+                 advances for the standard-14 fonts)
       producer/creator  written to the trailer /Info dictionary
       length_indirect   stream /Length entries are indirect references
                  to trailing integer objects (the linearized-writer
@@ -283,7 +301,14 @@ def build_tiny_pdf(
                 % (len(content), filt, content)
             )
     font_dict = f"<< /Type /Font /Subtype /Type1 /BaseFont /{font}"
-    if widths == "afm":
+    if widths == "halfem":
+        # the frozen 0.5-em fixture dialect, now EXPLICIT in the
+        # bytes: /Widths pins every advance at 500/1000 em, so the
+        # glyph-raster decoder's pitch contract (cell = size/2) holds
+        # regardless of the BaseFont's AFM table (r5 verdict item 5)
+        ws = " ".join(["500"] * 95)
+        font_dict += f" /FirstChar 32 /LastChar 126 /Widths [{ws}]"
+    elif widths == "afm":
         table = (HELVETICA_WIDTHS if font.startswith("Helvetica")
                  else TIMES_WIDTHS if font.startswith("Times") else None)
         if table is not None:
@@ -440,21 +465,27 @@ def build_tiny_pdf(
 
 def build_pdf_cid(pages: list[dict], compress: bool = True,
                   use_bfrange: bool = False, emit_w: bool = False,
-                  font: str = "FixtureCJK") -> bytes:
+                  font: str = "FixtureCJK",
+                  widths: str = "afm") -> bytes:
     """Type0/CID-dialect writer (ISO 32000 §9.7 — the shape every CJK
     PDF ships): text as Identity-H 2-byte CIDs in HEX strings, a
-    /Type0 font whose descendant CIDFontType2 carries /DW 500 (the
-    0.5-em fixture advance, so layout is identical to the classic
-    dialect for any text), and a /ToUnicode CMap stream mapping each
-    CID back to Unicode.  CIDs are assigned per document in sorted
-    char order.
+    /Type0 font whose descendant CIDFontType2 carries a /W array (+
+    /DW 500 default), and a /ToUnicode CMap stream mapping each CID
+    back to Unicode.  CIDs are assigned per document in sorted char
+    order.
 
       use_bfrange  consecutive-codepoint runs emitted as bfrange
                    triples instead of bfchar pairs (exercises both
                    CMap section parsers)
-      emit_w       also writes an explicit /W array listing every CID
-                   at 500 (exercises the /W width resolver; layout
-                   unchanged)
+      widths       'afm' (default, r6): /W lists every CID at its
+                   real Helvetica AFM advance (unknown chars 500) —
+                   layout identical to the classic AFM dialect for
+                   any text, so the cross-dialect equality property
+                   holds under real widths; 'halfem': no /W, the
+                   /DW 500 frozen 0.5-em dialect
+      emit_w       with widths='halfem', also writes an explicit /W
+                   at 500 per CID (exercises the /W resolver with a
+                   layout-neutral array)
     """
     chars = sorted({ch for page in pages
                     for _x, _y, _s, text in page.get("texts", [])
@@ -498,7 +529,10 @@ def build_pdf_cid(pages: list[dict], compress: bool = True,
     desc = (f"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /{font} "
             "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
             "/Supplement 0 >> /DW 500")
-    if emit_w and chars:
+    if widths == "afm" and chars:
+        ws = " ".join(str(HELVETICA_WIDTHS.get(ch, 500)) for ch in chars)
+        desc += f" /W [1 [{ws}]]"
+    elif emit_w and chars:
         desc += " /W [1 [" + " ".join(["500"] * len(chars)) + "]]"
     objs.append((desc + " >>").encode())
 
@@ -1348,6 +1382,7 @@ def _content_streams_lenient(
     stripped.  Font resources are unrecoverable here -> legacy advance
     model."""
     streams = []
+    fonts = _lenient_fonts(data)
     for m in _STREAM_START_RE.finditer(data):
         p = m.end()
         end = data.find(b"endstream", p)
@@ -1358,10 +1393,45 @@ def _content_streams_lenient(
             payload = _inflate(raw)
         except zlib.error:
             payload = raw.rstrip(b"\r\n")
-        streams.append((payload, {}, {}))
+        streams.append((payload, fonts, {}))
     if not streams:
         raise PdfParseError("no recoverable content streams")
     return streams
+
+
+def _lenient_fonts(data: bytes) -> dict[bytes, dict]:
+    """Best-effort GLOBAL font map for the repair rung (r6): tail
+    damage (stripped xref/trailer) leaves the object bodies intact, so
+    every /Font resource mapping found anywhere in the bytes resolves
+    against a flat object scan — first mapping per name wins
+    (deterministic; ambiguous only when pages reuse a name for
+    different fonts, where any choice is best-effort).  Before this,
+    the rung dropped fonts wholesale and every damaged file regressed
+    to 0.5-em advances — invisible while bare Helvetica ALSO meant
+    0.5-em, wrong once it resolves through the real AFM table."""
+    objs: dict[int, bytes] = {}
+    objstart: dict[int, int] = {}
+    for m in _OBJ_RE.finditer(data):
+        objs[int(m.group(1))] = m.group(2)
+        objstart[int(m.group(1))] = m.start(2)
+    fonts: dict[bytes, dict] = {}
+    for fr in _FONTRES_RE.finditer(data):
+        for m in _FONTREF_RE.finditer(fr.group(1)):
+            name = b"/" + m.group(1)
+            if name in fonts:
+                continue
+            fobj = objs.get(int(m.group(2)))
+            if fobj is None:
+                continue
+            try:
+                if b"/Type0" in fobj:
+                    fonts[name] = _parse_type0_font(
+                        fobj, objs, data, objstart, None)
+                else:
+                    fonts[name] = _parse_font_dict(fobj)
+            except PdfParseError:
+                continue  # unresolvable font: advances fall back
+    return fonts
 
 
 def parse_pdf_info(data: bytes) -> dict:

@@ -990,14 +990,21 @@ def test_render_pdf_pages_box_raster(spark):
     rows = {(r["doc_id"], r["p_num"]): r for r in out.collect()}
     import math
 
+    from pydoxtools_spark.functions.pdfparse import HELVETICA_WIDTHS
+
+    def box_px(text, size, x0=72.0):
+        # r6: bare Helvetica parses with real AFM advances
+        adv = sum(HELVETICA_WIDTHS[c] for c in text) / 1000.0 * size
+        return math.ceil((x0 + adv) * 0.25) - math.floor(x0 * 0.25)
+
     r0 = rows[("g", 0)]
     assert (r0["width"], r0["height"]) == (153, 198)
-    assert r0["n_dark"] == (math.ceil(18 + 2.25 * 5) - 18) * 5
+    assert r0["n_dark"] == box_px("Doc X", 18.0) * 5
     r1 = rows[("g", 1)]
-    # 12pt text at (72,650): x1=72+6*2=84 -> ceil(21)-18=3 wide,
-    # y: 162.5..165.5 -> floor162..ceil166 = 4 tall; the hairline rule:
-    # x 25..50, y floor(25)..ceil(25) = 1 tall, 25 wide
-    assert r1["n_dark"] == 3 * 4 + 25 * 1
+    # 12pt text at (72,650): y 162.5..165.5 -> floor162..ceil166 =
+    # 4 tall; the hairline rule: x 25..50, y floor(25)..ceil(25) =
+    # 1 tall, 25 wide
+    assert r1["n_dark"] == box_px("p2", 12.0) * 4 + 25 * 1
     assert ("bad", None) in rows and rows[("bad", None)]["error"]
     # raster feeds the media pipeline: BMP decodes with exact dims
     feats = media_features(out.filter("error IS NULL").select(
@@ -1134,7 +1141,8 @@ def test_glyph_raster_ocr_round_trip(spark):
                         (72.0, 736.0, 12.0, lines[1])]},
              {"texts": [(72.0, 760.0, 12.0, "second page line")]}]
     blobs = spark.createDataFrame(
-        [("g", bytearray(build_tiny_pdf(pages, compress=True, use_tj=True))),
+        [("g", bytearray(build_tiny_pdf(pages, compress=True, use_tj=True,
+                                        widths="halfem"))),
          ("bad", bytearray(b"junk"))],
         "doc_id string, content binary")
     rast = render_pdf_pages(blobs, scale=2.0, glyphs=True, crop_top_pt=100.0)

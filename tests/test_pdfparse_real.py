@@ -109,23 +109,35 @@ def test_tj_kern_shifts_position_and_merges_line():
     baseline still merge into ONE text element whose glyph advances
     absorb the kern (x + sum(advances) locates every glyph)."""
     raw = build_tiny_pdf([{"texts": [(0.0, 0.0, 10.0, "ab cd")]}],
-                         use_tj=True)
+                         use_tj=True, widths="halfem")
     kerned = raw.replace(b"[ (ab) 0 ( cd) ] TJ", b"[ (ab) -1000 (cd) ] TJ")
     assert kerned != raw
     (t,) = [r for r in pdf_elements_from_bytes(kerned, "d")
             if r["type"] == "Text"]
-    # 4 glyphs * 5pt + kern gap of +10pt = 30pt total advance
+    # halfem dialect: 4 glyphs * 5pt + kern gap of +10pt = 30pt total
     assert t["rawtext"] == "abcd"
     assert abs(t["x1"] - 30.0) < 1e-9
 
 
 def test_standard14_and_embedded_widths():
-    """Width resolution ladder: /Widths array (AFM-exact Helvetica)
-    -> standard-14 table (Courier monospace 600) -> the legacy 0.5-em
-    fixture dialect for width-less Helvetica."""
-    (t_legacy,) = [r for r in pdf_elements_from_bytes(
+    """Width resolution ladder (r6): /Widths array -> standard-14 AFM
+    (now including bare Helvetica — real-world extents, r5 verdict
+    item 5) -> the 0.5-em heuristic for fonts outside the subset;
+    widths='halfem' pins the frozen dialect explicitly."""
+    afm_want = sum(HELVETICA_WIDTHS[c] for c in "Doc X") / 1000.0 * 20.0
+    (t_bare,) = [r for r in pdf_elements_from_bytes(
         build_tiny_pdf([{"texts": [(0.0, 0.0, 20.0, "Doc X")]}]), "d")]
+    assert abs(t_bare["x1"] - afm_want) < 1e-9
+
+    (t_legacy,) = [r for r in pdf_elements_from_bytes(
+        build_tiny_pdf([{"texts": [(0.0, 0.0, 20.0, "Doc X")]}],
+                       font="FixtureSans"), "d")]
     assert abs(t_legacy["x1"] - CHAR_EM * 20.0 * 5) < 1e-9
+
+    (t_half,) = [r for r in pdf_elements_from_bytes(
+        build_tiny_pdf([{"texts": [(0.0, 0.0, 20.0, "Doc X")]}],
+                       widths="halfem"), "d")]
+    assert abs(t_half["x1"] - 0.5 * 20.0 * 5) < 1e-9
 
     (t_cour,) = [r for r in pdf_elements_from_bytes(
         build_tiny_pdf([{"texts": [(0.0, 0.0, 20.0, "Doc X")]}],
@@ -330,11 +342,16 @@ def test_cid_type0_tounicode_round_trip():
                pdf_elements_from_bytes(build_pdf_cid(cjk, **kw), "d")
                if r["type"] == "Text"]
         assert got == want, kw
-    # full-width CJK line advance: 0.5 em per codepoint (the pinned
-    # fixture dialect; non-BMP chars carry their advance on the lead
-    # UTF-16 unit)
+    # default /W is AFM (r6): chars outside the Latin table advance
+    # /DW-like 500, ASCII (the two spaces) their real AFM width
     rows = [r for r in pdf_elements_from_bytes(build_pdf_cid(cjk), "d")
             if r["type"] == "Text"]
+    units = sum(HELVETICA_WIDTHS.get(c, 500) for c in want[0])
+    assert abs(rows[0]["x1"] - (72.0 + units / 1000.0 * 14.0)) < 1e-9
+    # halfem twin: 0.5 em per codepoint (non-BMP chars carry their
+    # advance on the lead UTF-16 unit)
+    rows = [r for r in pdf_elements_from_bytes(
+        build_pdf_cid(cjk, widths="halfem"), "d") if r["type"] == "Text"]
     assert abs(rows[0]["x1"] - (72.0 + len(want[0]) * 0.5 * 14.0)) < 1e-9
 
     # damaged: trailer stripped -> lenient salvage without task death
@@ -650,9 +667,12 @@ def test_rotated_text_elements():
     pages = [{"texts": [(72.0, 700.0, 18.0, "Doc X"),
                         (582.0, 200.0, 10.0, "SIDE", 90),
                         (30.0, 500.0, 10.0, "EDGE", 270)]}]
+    # widths='halfem' pins the 0.5-em dialect so the rotated-geometry
+    # arithmetic stays exact (the subject here is rotation, not widths)
     for kw in ({}, {"compress": True}, {"encrypt": True}):
         els = [r for r in pdf_elements_from_bytes(
-            build_tiny_pdf(pages, **kw), "d") if r["type"] == "Text"]
+            build_tiny_pdf(pages, widths="halfem", **kw), "d")
+            if r["type"] == "Text"]
         assert [r["mean_char_orientation"] for r in els] == [0.0, 90.0, 270.0]
         side = els[1]
         # 4 glyphs x 0.5 em x 10 pt = 20 advance along +y; height -> -x
@@ -663,7 +683,7 @@ def test_rotated_text_elements():
             30.0, 480.0, 40.0, 500.0)
     # chars mode: per-glyph boxes stack along the advance direction
     chars = [r for r in pdf_elements_from_bytes(
-        build_tiny_pdf(pages), "d", emit_chars=True)
+        build_tiny_pdf(pages, widths="halfem"), "d", emit_chars=True)
         if r["type"] == "Char" and r["mean_char_orientation"] == 90.0]
     assert [c["y0"] for c in chars] == [200.0, 205.0, 210.0, 215.0]
     assert all((c["x0"], c["x1"]) == (572.0, 582.0) for c in chars)
