@@ -762,6 +762,47 @@ def test_image_in_page_template_via_bytes_path(spark):
     assert media[0]["media_type"] == "image/bmp"
 
 
+def test_rotated_label_dropped_from_layout_and_template(spark):
+    """A 90°-rotated label parses into an ORIENTED element but is
+    dropped from reading-order items, extracted spans, and the page
+    template — on both the oracle single-process path and the Spark
+    layout path (reference drops 90° boxes in the template,
+    extract_textstructure.py:398-460)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from pydoxtools_spark.functions.pdflayout import extract_pdf_items
+    from pydoxtools_spark.operators.templates import span_template
+    from pydoxtools_spark.pipeline import extract
+
+    pages = [{"texts": [(72.0, 700.0, 18.0, "Doc X"),
+                        (72.0, 600.0, 10.0, "body text here"),
+                        (582.0, 200.0, 10.0, "SIDE", 90)]}]
+    els = pdf_elements_from_bytes(build_tiny_pdf(pages), "d")
+    assert [r["mean_char_orientation"] for r in els
+            if r["type"] == "Text"] == [0.0, 0.0, 90.0]
+    # oracle path: the rotated label never reaches the items
+    items = extract_pdf_items(pd.DataFrame(els), size_cut=21.6)
+    assert all("SIDE" not in (t or "") for (_p, _y, _x, _k, t, _m) in items)
+    assert any("body text here" == t for (_p, _y, _x, _k, t, _m) in items)
+
+    # spark path: spans + template exclude it too
+    blobs = spark.createDataFrame(
+        [("d", bytearray(build_tiny_pdf(pages, compress=True)))],
+        "ref string, content binary")
+    docs_in = spark.createDataFrame(
+        [("d", [("pdf_bytes", None, "d", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    out = extract(spark, docs_in, None, parallelism=2, pdf_blobs=blobs)
+    texts = [r["s"]["text"] or "" for r in
+             out.select(F.explode("spans").alias("s")).collect()]
+    assert any("body text here" in t for t in texts)
+    assert all("SIDE" not in t for t in texts)
+    tpl = span_template(out).collect()[0]["template"]
+    assert "SIDE" not in tpl and "Doc X" in tpl
+
+
 def test_corrupt_aes_stream_contained_as_encrypted_error():
     """Decrypt-time AES failures (truncated payload -> bad stream
     length / bad padding) raise PdfEncryptedError and must NOT fall
