@@ -275,14 +275,15 @@ def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference surfaces every pdfminer LTFigure as an Image element,
     pdf_utils.py:286-398): per doc a tiny PDF placing an image XObject
     at an analytically known bbox (q/cm/Do through the CTM), every
-    3rd doc a /DCTDecode payload (plug-in codec passthrough), the
-    rest Flate /DeviceRGB (decodable).  Every 4th doc carries a
-    SECOND image.  parse_pdf_blobs must emit the Image element with
-    the placed bbox, pdf_media_blobs must surface the stream bytes,
-    and media_features must really decode the decodable subset
-    (width/height/mean luminance) while containing the plug-in codec
-    as a decode_error row — the oracle recomputes everything from the
-    generating parameters."""
+    3rd doc a /DCTDecode payload — a REAL baseline JPEG that the
+    r6 from-scratch codec (functions/jpeg.py) must decode: uniform
+    even gray is quantization-exact, so even a LOSSY codec gets an
+    analytic oracle — the rest Flate /DeviceRGB.  Every 4th doc
+    carries a SECOND image.  parse_pdf_blobs must emit the Image
+    element with the placed bbox, pdf_media_blobs must surface the
+    stream bytes, and media_features must really decode BOTH subsets
+    (width/height/mean luminance/n_bytes) — the oracle recomputes
+    everything from the generating parameters."""
     from pydoxtools_spark.operators.multimodal import media_features
     from pydoxtools_spark.pipeline import parse_pdf_blobs, pdf_media_blobs
 
@@ -300,7 +301,12 @@ def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x, y = 100.0 + (i % 7) * 40, 300.0 + (i % 5) * 30
                 w, h = 80.0 + (i % 3) * 20, 60.0 + (i % 2) * 20
                 if i % 3 == 0:
-                    img1 = (x, y, w, h, "dct", 8, 6)
+                    # r6: REAL baseline JPEG payload (functions/jpeg
+                    # codec) — uniform EVEN gray round-trips exactly
+                    # (DC=8*(g-128), luma step 16), so the oracle can
+                    # state mean_level analytically for a lossy codec
+                    g = 2 * (40 + i % 60)
+                    img1 = (x, y, w, h, "dct", 8, 6, (g, g, g))
                 else:
                     img1 = (x, y, w, h, "rgb", 4 + i % 5, 3 + i % 3,
                             (i % 200, 100, 50))
@@ -3034,17 +3040,24 @@ def oracle_sql() -> dict[str, str]:
                   + 60 + (doc_id % 2) * 20 AS DOUBLE) AS y1,
              CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
                   ELSE 'image/bmp' END AS media_type,
-             CASE WHEN doc_id % 3 = 0 THEN NULL
+             CASE WHEN doc_id % 3 = 0 THEN 8
                   ELSE 4 + doc_id % 5 END AS width,
-             CASE WHEN doc_id % 3 = 0 THEN NULL
+             CASE WHEN doc_id % 3 = 0 THEN 6
                   ELSE 3 + doc_id % 3 END AS height,
-             CASE WHEN doc_id % 3 = 0 THEN NULL
+             -- r6: the JPEG subset now DECODES (from-scratch baseline
+             -- codec); uniform even gray g = 2*(40 + doc_id % 60) is
+             -- quantization-exact, luminance(g,g,g) = g
+             CASE WHEN doc_id % 3 = 0 THEN 2 * (40 + doc_id % 60)
                   ELSE (299 * (doc_id % 200) + 587 * 100 + 114 * 50)
                        // 1000 END AS mean_level,
-             CASE WHEN doc_id % 3 = 0 THEN 26
+             -- jpeg bytes: fixed 627-byte shell, +1 when the Y DC
+             -- diff (doc_id % 60 - 24) needs a >1-bit magnitude
+             CASE WHEN doc_id % 3 = 0 THEN
+                    CASE WHEN doc_id % 60 BETWEEN 23 AND 25
+                         THEN 627 ELSE 628 END
                   ELSE 54 + ((3 * (4 + doc_id % 5) + 3) // 4 * 4)
                           * (3 + doc_id % 3) END AS n_bytes,
-             doc_id % 3 = 0 AS decode_failed
+             FALSE AS decode_failed
       FROM documents
     ), img2 AS (
       SELECT doc_id, 'xobj7' AS target,

@@ -1,0 +1,555 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1) writer/reader pair — the
+pdfparse.py/media.py from-scratch strategy applied to the codec real
+PDFs embed most (/DCTDecode streams, reference pdf_utils.py:286-398
+hands them to PIL; PIL is not in this sandbox).
+
+Scope — baseline sequential DCT, the overwhelming real-world subset:
+  - SOF0 only (progressive SOF2 and arithmetic coding raise,
+    contained as decode_error by the media ladder)
+  - 8-bit samples, 1 (grayscale) or 3 (YCbCr/JFIF) components
+  - reader: arbitrary sampling factors up to 2x2 (4:4:4, 4:2:2,
+    4:2:0 — box upsample), restart markers (DRI/RSTn), tables read
+    FROM THE FILE (DQT/DHT), so decode is self-consistent with any
+    conforming encoder, not just ours
+  - writer: 4:4:4 (no subsampling), ITU T.81 Annex K quantization
+    (scaled by a libjpeg-convention quality knob) and Annex K huffman
+    tables, JFIF APP0 header
+
+Exactness contract (what makes a DuckDB oracle possible for a LOSSY
+codec): a uniform block has only a DC coefficient, DC = 8*(v - 128)
+under the orthonormal FDCT; with quality=50 the Annex K luma DC step
+is 16, so round(8*(v-128)/16)*16/8 == v - 128 whenever v is EVEN —
+any uniform gray (r=g=b, the chroma planes are exactly zero because
+the BT.601 cb/cr coefficients sum to 0) with even v survives the
+round trip EXACTLY (test-pinned; the pdf_images driver oracle uses
+such values).  Everything else round-trips within normal JPEG loss
+(PSNR-checked).
+
+The entropy decoder is a 16-bit peek LUT per huffman table (the
+classic fast-decode shape) over a python bit reader — fine for
+fixture-scale images inside Arrow-batched kernels; a production
+deployment slots libjpeg here exactly like tesseract slots into the
+OCR seat.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .media import MediaDecodeError
+
+# ---------------------------------------------------------------- tables
+
+# zigzag: index i of zigzag order -> (row, col) in the 8x8 block
+_ZZ = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# ITU T.81 Annex K.1 / K.2 quantization tables (natural row order)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3 huffman specs: (BITS[1..16], HUFFVAL)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+     0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+     0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+     0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+     0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+     0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+     0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+     0xf9, 0xfa])
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+     0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+     0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+     0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+     0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+     0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+     0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+     0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+     0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+     0xf9, 0xfa])
+
+# orthonormal 8x8 DCT-II basis: A @ block @ A.T == FDCT (T.81 A.3.3
+# up to the standard 1/4*C(u)C(v) scaling folded into A)
+_A = np.zeros((8, 8))
+for _u in range(8):
+    c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _A[_u, _x] = 0.5 * c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-convention linear quality scaling of a base table."""
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((qt * s + 50) // 100, 1, 255)
+
+
+# ------------------------------------------------------------ bit I/O
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, bits: int, length: int) -> None:
+        self.acc = (self.acc << length) | (bits & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+class _BitReader:
+    """MSB-first reader over unstuffed entropy-coded bytes."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0          # byte position
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, need: int) -> None:
+        while self.n < need:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.acc >> (self.n - 16)) & 0xFFFF
+
+    def skip(self, length: int) -> None:
+        self._fill(length)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+
+    def read(self, length: int) -> int:
+        if length == 0:
+            return 0
+        self._fill(length)
+        v = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return v
+
+
+def _huff_codes(bits: list[int], vals: list[int]):
+    """Canonical codes: [(code, length, symbol)] in spec order."""
+    out = []
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((code, length, vals[k]))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _enc_table(bits, vals) -> dict[int, tuple[int, int]]:
+    return {sym: (code, ln) for code, ln, sym in _huff_codes(bits, vals)}
+
+
+def _dec_lut(bits, vals) -> np.ndarray:
+    """16-bit peek LUT: lut[p] = (symbol << 5) | code_length.  One
+    65536-entry table per huffman table — the classic fast decode."""
+    lut = np.zeros(1 << 16, dtype=np.uint16)
+    for code, ln, sym in _huff_codes(bits, vals):
+        lo = code << (16 - ln)
+        hi = (code + 1) << (16 - ln)
+        lut[lo:hi] = (sym << 5) | ln
+    return lut
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """DC/AC coefficient -> (size, bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _magnitude (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+# ---------------------------------------------------------------- writer
+
+
+def build_jpeg(pixels: np.ndarray, quality: int = 50) -> bytes:
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF bytes.
+
+    4:4:4 (no subsampling), Annex K tables scaled by `quality`
+    (libjpeg convention; the default 50 keeps the tables verbatim,
+    which the uniform-color exactness contract depends on)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[0], px.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if gray:
+        comps = [px.astype(np.float64) - 128.0]
+    else:
+        r = px[..., 0].astype(np.float64)
+        g = px[..., 1].astype(np.float64)
+        b = px[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y - 128.0, cb - 128.0, cr - 128.0]
+
+    qts = [_quality_scale(_QT_LUMA, quality)]
+    if not gray:
+        qts.append(_quality_scale(_QT_CHROMA, quality))
+
+    # pad to 8-multiples by edge replication
+    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+    enc_dc = [_enc_table(*_DC_LUMA), _enc_table(*_DC_CHROMA)]
+    enc_ac = [_enc_table(*_AC_LUMA), _enc_table(*_AC_CHROMA)]
+
+    bw = _BitWriter()
+    pred = [0] * len(comps)
+    # quantized zigzag coefficients per component, block-raster order
+    qblocks = []
+    for ci, plane in enumerate(comps):
+        plane = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = (plane.reshape(ph // 8, 8, pw // 8, 8)
+                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+        coef = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
+        q = qts[min(ci, len(qts) - 1)].reshape(8, 8).astype(np.float64)
+        qc = np.round(coef / q).astype(np.int64)
+        # natural order -> zigzag order: zz[i] = nat[_ZZ[i]]
+        qblocks.append(qc.reshape(-1, 64)[:, _ZZ])
+
+    n_bx, n_by = pw // 8, ph // 8
+    for bi in range(n_bx * n_by):
+        for ci in range(len(comps)):
+            zz = qblocks[ci][bi]
+            t = min(ci, 1)
+            dc = int(zz[0])
+            size, bits = _magnitude(dc - pred[ci])
+            pred[ci] = dc
+            code, ln = enc_dc[t][size]
+            bw.put(code, ln)
+            if size:
+                bw.put(bits, size)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = enc_ac[t][0xF0]   # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, ln = enc_ac[t][(run << 4) | size]
+                bw.put(code, ln)
+                bw.put(bits, size)
+                run = 0
+            if run:
+                code, ln = enc_ac[t][0x00]       # EOB
+                bw.put(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")                         # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"         # APP0
+    for i, qt in enumerate(qts):                         # DQT (zigzag order)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([i])
+        out += bytes(int(qt[z]) for z in _ZZ)
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):                              # SOF0: 4:4:4
+        out += bytes([ci + 1, 0x11, min(ci, len(qts) - 1)])
+    specs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if not gray:
+        specs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc_th, (bits_, vals_) in specs:                  # DHT
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals_))
+        out += bytes([tc_th]) + bytes(bits_) + bytes(vals_)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):                              # SOS
+        t = min(ci, 1)
+        out += bytes([ci + 1, (t << 4) | t])
+    out += b"\x00\x3f\x00"
+    out += bw.out
+    out += b"\xff\xd9"                                   # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- reader
+
+
+def parse_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline JPEG bytes -> (width, height, (h, w, 3) uint8 RGB).
+
+    Tables come from the file's own DQT/DHT segments; sampling factors
+    up to 2x2 are box-upsampled; restart markers reset the DC
+    predictors.  Progressive (SOF2), arithmetic coding, 12-bit, and
+    >3-component files raise MediaDecodeError (the libjpeg plug
+    point)."""
+    if data[:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG (no SOI)")
+    try:
+        return _parse_segments(data)
+    except MediaDecodeError:
+        raise
+    except (struct.error, IndexError, ValueError) as e:
+        raise MediaDecodeError(f"corrupt JPEG: {type(e).__name__}: {e}")
+
+
+def _parse_segments(data: bytes) -> tuple[int, int, np.ndarray]:
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], np.ndarray] = {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise MediaDecodeError("marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        seg = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:                                # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq:
+                    raise MediaDecodeError("16-bit quant tables unsupported")
+                t = np.zeros(64, dtype=np.int64)
+                t[_ZZ] = np.frombuffer(seg[p:p + 64], dtype=np.uint8)
+                qtabs[tq] = t
+                p += 64
+        elif marker == 0xC4:                              # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                htabs[(tc, th)] = _dec_lut(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:            # SOF0/1
+            prec, ih, iw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise MediaDecodeError("only 8-bit baseline supported")
+            if nc not in (1, 3):
+                raise MediaDecodeError(f"{nc}-component JPEG unsupported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            sof = (ih, iw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError(
+                f"non-baseline SOF marker 0xFF{marker:02X} "
+                "(progressive/arithmetic — plug a full decoder)")
+        elif marker == 0xDD:                              # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:                              # SOS
+            if sof is None:
+                raise MediaDecodeError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for ci in range(ns):
+                cs, tt = seg[1 + 2 * ci:3 + 2 * ci]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            entropy_start = pos + 2 + seglen
+            return _decode_scan(data, entropy_start, sof, scan, qtabs,
+                                htabs, restart_interval)
+        pos += 2 + seglen
+    raise MediaDecodeError("no scan data (truncated JPEG)")
+
+
+def _decode_scan(data, pos, sof, scan, qtabs, htabs, restart_interval):
+    ih, iw, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2 or hmax < 1 or vmax < 1:
+        raise MediaDecodeError("sampling factors beyond 2x2 unsupported")
+    mcux = -(-iw // (8 * hmax))
+    mcuy = -(-ih // (8 * vmax))
+
+    # unstuff entropy bytes; note restart marker boundaries
+    raw = bytearray()
+    resets = set()
+    p = pos
+    while p < len(data) - 1:
+        b = data[p]
+        if b == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                raw.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:                      # RSTn
+                resets.add(len(raw))
+                p += 2
+                continue
+            break                                        # EOI / next marker
+        raw.append(b)
+        p += 1
+
+    br = _BitReader(bytes(raw))
+    scan_by_id = {cs: (td, ta) for cs, td, ta in scan}
+    planes = []
+    for c in comps:
+        bw_ = mcux * c["h"]
+        bh_ = mcuy * c["v"]
+        planes.append(np.zeros((bh_ * 8, bw_ * 8)))
+    pred = [0] * len(comps)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_i
+                    and mcu_i % restart_interval == 0):
+                # byte-align + reset predictors at restart boundaries
+                if br.n % 8:
+                    br.skip(br.n % 8)
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                td, ta = scan_by_id.get(c["id"], (0, 0))
+                dlut = htabs.get((0, td))
+                alut = htabs.get((1, ta))
+                if dlut is None or alut is None:
+                    raise MediaDecodeError("missing huffman table")
+                qt = qtabs.get(c["tq"])
+                if qt is None:
+                    raise MediaDecodeError("missing quant table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        e = int(dlut[br.peek16()])
+                        size, ln = e >> 5, e & 31
+                        if ln == 0:
+                            raise MediaDecodeError("bad huffman code (DC)")
+                        br.skip(ln)
+                        diff = _extend(br.read(size), size)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            e = int(alut[br.peek16()])
+                            rs, ln = e >> 5, e & 31
+                            if ln == 0:
+                                raise MediaDecodeError("bad huffman code (AC)")
+                            br.skip(ln)
+                            if rs == 0x00:               # EOB
+                                break
+                            if rs == 0xF0:               # ZRL
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise MediaDecodeError("AC run overflow")
+                            zz[k] = _extend(br.read(rs & 0xF), rs & 0xF)
+                            k += 1
+                        coef = np.zeros(64)
+                        # zz and qt[_ZZ] are both zigzag-ordered;
+                        # scatter back to natural positions
+                        coef[_ZZ] = zz * qt[_ZZ]
+                        block = np.einsum(
+                            "xu,uv,yv->xy", _A.T, coef.reshape(8, 8), _A.T)
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_i += 1
+
+    # upsample to full resolution, crop, color-convert
+    full = []
+    for ci, c in enumerate(comps):
+        pl = planes[ci] + 128.0
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+        full.append(pl[:ih, :iw])
+    if len(full) == 1:
+        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return iw, ih, np.stack([g, g, g], axis=-1)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return iw, ih, np.clip(np.round(rgb), 0, 255).astype(np.uint8)

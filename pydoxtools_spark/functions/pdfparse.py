@@ -41,8 +41,10 @@ exact), ASCIIHexDecode, ASCII85Decode and declared-order filter
 CHAINS; the RC4 standard security handler for empty-user-password
 encrypted files (per-object keys, decrypt-before-filters, /U
 verification — password-protected files error instead of salvaging
-ciphertext).  Still plug-in territory: DCT/JBIG2/CCITT image codecs,
-AES (R4+) encryption, vertical/rotated text (the reference pins
+ciphertext).  Still plug-in territory: JBIG2/CCITT/JPX image codecs
+(DCT decodes since r6 via the from-scratch baseline JPEG codec,
+functions/jpeg.py) and vertical WRITING MODE (rotated 90/270 labels
+parse into oriented elements since r6; the reference pins
 detect_vertical=False, pdf_utils.py:201).
 Round 6: Helvetica without /Widths resolves through the REAL AFM
 table (the 0.5-em heuristic applies only to fonts outside the
@@ -325,8 +327,11 @@ def build_tiny_pdf(
         for im in page.get("images", []):
             # im = (x, y, w, h[, kind[, px_w, px_h[, (r, g, b)]]]):
             # kind 'rgb' embeds Flate-compressed raw /DeviceRGB samples
-            # (decodable subset); 'dct' embeds an undecoded fake-JPEG
-            # /DCTDecode payload (the plug-in-codec passthrough shape)
+            # (decodable subset); 'dct' embeds a REAL baseline JPEG
+            # /DCTDecode payload (r6 — functions/jpeg.py codec; a
+            # uniform gray with even value round-trips EXACTLY, the
+            # oracle contract); 'jbig2' embeds an undecodable payload
+            # (the remaining plug-in passthrough shape)
             kind = im[4] if len(im) > 4 else "rgb"
             iw = int(im[5]) if len(im) > 5 else 8
             ih = int(im[6]) if len(im) > 6 else 6
@@ -340,14 +345,27 @@ def build_tiny_pdf(
                     b" /Length %d >>\nstream\n%s\nendstream"
                     % (iw, ih, len(comp), comp))
             elif kind == "dct":
-                fake = (b"\xff\xd8\xff\xe0" + b"FAKEJPEG"
-                        + bytes(rgb) * 4 + b"\xff\xd9")
+                import numpy as _np
+
+                from .jpeg import build_jpeg
+
+                px = _np.empty((ih, iw, 3), dtype=_np.uint8)
+                px[..., 0], px[..., 1], px[..., 2] = rgb
+                jp = build_jpeg(px)
                 objs.append(
                     b"<< /Type /XObject /Subtype /Image /Width %d"
                     b" /Height %d /ColorSpace /DeviceRGB"
                     b" /BitsPerComponent 8 /Filter /DCTDecode"
                     b" /Length %d >>\nstream\n%s\nendstream"
-                    % (iw, ih, len(fake), fake))
+                    % (iw, ih, len(jp), jp))
+            elif kind == "jbig2":
+                blob = b"JBIG2PAYLOAD" + bytes(rgb) * 4
+                objs.append(
+                    b"<< /Type /XObject /Subtype /Image /Width %d"
+                    b" /Height %d /BitsPerComponent 1"
+                    b" /Filter /JBIG2Decode"
+                    b" /Length %d >>\nstream\n%s\nendstream"
+                    % (iw, ih, len(blob), blob))
             else:
                 raise ValueError(f"unknown image kind: {kind}")
     info_obj = None
@@ -1933,11 +1951,13 @@ def extract_pdf_images(data: bytes) -> list[tuple[str, str, int | None,
 
     Decodable subset (no filter / FlateDecode chains, /DeviceRGB 8-bit
     samples) is re-encoded as a BMP ('image/bmp') so the bytes flow
-    straight into media_features; plug-in codecs (DCT/JPX/JBIG2/CCITT)
-    pass through UNDECODED with their media_type — the element and its
-    bytes must not vanish just because the codec is external (r5
-    verdict item 3).  Raises PdfEncryptedError for undecryptable
-    files (caller contains it as an error row)."""
+    straight into media_features; /DCTDecode passes through as
+    'image/jpeg' which media_features DECODES since r6 (from-scratch
+    baseline codec, functions/jpeg.py); remaining plug-in codecs
+    (JPX/JBIG2/CCITT) pass through undecoded with their media_type —
+    the element and its bytes must not vanish just because the codec
+    is external (r5 verdict item 3).  Raises PdfEncryptedError for
+    undecryptable files (caller contains it as an error row)."""
     objs: dict[int, bytes] = {}
     objstart: dict[int, int] = {}
     for m in _OBJ_RE.finditer(data):

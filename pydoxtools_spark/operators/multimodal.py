@@ -87,6 +87,15 @@ def decode_media(media_type: str, content: bytes) -> dict:
         w, h, px = parse_bmp(content)
         hist, mean = luminance_hist16(px)
         return {"width": w, "height": h, "feature": hist, "mean_level": mean}
+    if content[:2] == b"\xff\xd8":
+        # baseline JPEG (r6 from-scratch codec — /DCTDecode PDF
+        # streams and standalone .jpg blobs; progressive raises into
+        # the contained decode_error column like any plug-in codec)
+        from ..functions.jpeg import parse_jpeg
+
+        w, h, px = parse_jpeg(content)
+        hist, mean = luminance_hist16(px)
+        return {"width": w, "height": h, "feature": hist, "mean_level": mean}
     if content[:4] == b"RIFF":
         rate, samples = parse_wav(content)
         hist, mean = amplitude_hist16(samples)
