@@ -1802,12 +1802,14 @@ def q_container_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedded container media end-to-end (r4 verdict item 6; the
     reference extracts docx media via pandoc, extract_pandoc.py:98-167):
     per doc a docx — every 4th an rtf with a hex \\pict payload (r5
-    verdict item 6) — embedding a solid-color BMP of analytically
-    known size/color -> container_media_blobs surfaces the bytes ->
-    media_features REALLY decodes them.  The oracle recomputes
-    width/height, the exact BMP byte size (54-byte headers + padded
-    rows) and the integer luminance mean from the generating
-    parameters — decode-correct or hash-mismatch."""
+    verdict item 6) — embedding a solid-color BMP, or (r6, docx docs
+    with doc_id % 5 == 2) a stored-block PNG through the from-scratch
+    functions/png.py codec -> container_media_blobs surfaces the
+    bytes -> media_features REALLY decodes them.  The oracle
+    recomputes width/height, the exact byte size (BMP: 54-byte
+    headers + padded rows; PNG level-0: 68 + h*(3w+1)) and the
+    integer luminance mean from the generating parameters —
+    decode-correct or hash-mismatch."""
     from pydoxtools_spark.operators.multimodal import media_features
     from pydoxtools_spark.pipeline import container_media_blobs
 
@@ -1819,6 +1821,7 @@ def q_container_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from pydoxtools_spark.functions.docx import build_tiny_docx
         from pydoxtools_spark.functions.media import build_bmp
+        from pydoxtools_spark.functions.png import build_png
         from pydoxtools_spark.functions.rtf import build_tiny_rtf
 
         for pdf in batches:
@@ -1828,9 +1831,16 @@ def q_container_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h = 4 + i % 5, 3 + i % 3
                 px = np.empty((h, w, 3), dtype=np.uint8)
                 px[:, :] = (i % 200, 100, 50)
+                if i % 4 != 3 and i % 5 == 2:
+                    # r6: PNG media part (stored-block zlib -> the
+                    # oracle states len = 68 + h*(3w+1) analytically)
+                    part = ("media/img1.png",
+                            build_png(px, compress_level=0))
+                else:
+                    part = ("media/img1.bmp", build_bmp(px))
                 blocks = [
                     ("header", f"Doc {i}", 1),
-                    ("image", "media/img1.bmp", build_bmp(px)),
+                    ("image", part[0], part[1]),
                     ("text", f"body {i}"),
                 ]
                 # every 4th doc is an rtf \pict container (r5 verdict
@@ -3220,13 +3230,18 @@ def oracle_sql() -> dict[str, str]:
         "container_media": """
     SELECT doc_id,
            CASE WHEN doc_id % 4 = 3 THEN 'pict1'
+                WHEN doc_id % 5 = 2 THEN 'media/img1.png'
                 ELSE 'media/img1.bmp' END AS target,
            4 + doc_id % 5 AS width,
            3 + doc_id % 3 AS height,
            (299 * (doc_id % 200) + 587 * 100 + 114 * 50) // 1000
              AS mean_level,
-           54 + ((3 * (4 + doc_id % 5) + 3) // 4 * 4)
-              * (3 + doc_id % 3) AS n_bytes
+           -- r6: docx docs with doc_id % 5 = 2 carry a stored-block
+           -- PNG (lossless from-scratch codec): 68 + h*(3w+1) bytes
+           CASE WHEN doc_id % 4 != 3 AND doc_id % 5 = 2
+                THEN 68 + (3 + doc_id % 3) * (3 * (4 + doc_id % 5) + 1)
+                ELSE 54 + ((3 * (4 + doc_id % 5) + 3) // 4 * 4)
+                        * (3 + doc_id % 3) END AS n_bytes
     FROM documents
     """,
         "blob_routing": """

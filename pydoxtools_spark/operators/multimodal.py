@@ -96,6 +96,14 @@ def decode_media(media_type: str, content: bytes) -> dict:
         w, h, px = parse_jpeg(content)
         hist, mean = luminance_hist16(px)
         return {"width": w, "height": h, "feature": hist, "mean_level": mean}
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        # PNG (r6 from-scratch codec — the format docx/epub media
+        # parts embed most; interlaced files raise, contained)
+        from ..functions.png import parse_png
+
+        w, h, px = parse_png(content)
+        hist, mean = luminance_hist16(px)
+        return {"width": w, "height": h, "feature": hist, "mean_level": mean}
     if content[:4] == b"RIFF":
         rate, samples = parse_wav(content)
         hist, mean = amplitude_hist16(samples)
