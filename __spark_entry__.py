@@ -278,8 +278,11 @@ def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     3rd doc a /DCTDecode payload — a REAL baseline JPEG that the
     r6 from-scratch codec (functions/jpeg.py) must decode: uniform
     even gray is quantization-exact, so even a LOSSY codec gets an
-    analytic oracle — the rest Flate /DeviceRGB.  Every 4th doc
-    carries a SECOND image.  parse_pdf_blobs must emit the Image
+    analytic oracle — every (3k+2)th doc a /CCITTFaxDecode payload (a
+    REAL G4 stream, functions/ccitt.py — the scanned-document
+    encoding; half-ink stripes make the decoded mean luminance
+    exactly 127), the rest Flate /DeviceRGB.  Every 4th doc carries a
+    SECOND image.  parse_pdf_blobs must emit the Image
     element with the placed bbox, pdf_media_blobs must surface the
     stream bytes, and media_features must really decode BOTH subsets
     (width/height/mean luminance/n_bytes) — the oracle recomputes
@@ -307,6 +310,18 @@ def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # state mean_level analytically for a lossy codec
                     g = 2 * (40 + i % 60)
                     img1 = (x, y, w, h, "dct", 8, 6, (g, g, g))
+                elif i % 3 == 2:
+                    # r6: REAL CCITT Group 4 payload (functions/ccitt
+                    # codec — the scanned-document encoding): vertical
+                    # stripes of period 4, width a multiple of 4, so
+                    # exactly half the pixels are ink regardless of
+                    # phase -> mean luminance 127 analytically, and
+                    # the BMP re-encode is 54 + 3*w*h bytes (stride
+                    # pad-free when 3w % 4 == 0)
+                    pw = 12 + 4 * ((i // 3) % 3)
+                    ph = 6 + 2 * ((i // 3) % 2)
+                    img1 = (x, y, w, h, "g4", pw, ph,
+                            ((i // 3) % 4, 0, 0))
                 else:
                     img1 = (x, y, w, h, "rgb", 4 + i % 5, 3 + i % 3,
                             (i % 200, 100, 50))
@@ -3051,20 +3066,29 @@ def oracle_sql() -> dict[str, str]:
              CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
                   ELSE 'image/bmp' END AS media_type,
              CASE WHEN doc_id % 3 = 0 THEN 8
+                  WHEN doc_id % 3 = 2 THEN 12 + 4 * ((doc_id // 3) % 3)
                   ELSE 4 + doc_id % 5 END AS width,
              CASE WHEN doc_id % 3 = 0 THEN 6
+                  WHEN doc_id % 3 = 2 THEN 6 + 2 * ((doc_id // 3) % 2)
                   ELSE 3 + doc_id % 3 END AS height,
              -- r6: the JPEG subset now DECODES (from-scratch baseline
              -- codec); uniform even gray g = 2*(40 + doc_id % 60) is
-             -- quantization-exact, luminance(g,g,g) = g
+             -- quantization-exact, luminance(g,g,g) = g.  The CCITT
+             -- G4 subset (doc_id % 3 = 2) decodes too (from-scratch
+             -- T.6 codec): half-ink stripes -> mean 127 exactly
              CASE WHEN doc_id % 3 = 0 THEN 2 * (40 + doc_id % 60)
+                  WHEN doc_id % 3 = 2 THEN 127
                   ELSE (299 * (doc_id % 200) + 587 * 100 + 114 * 50)
                        // 1000 END AS mean_level,
              -- jpeg bytes: fixed 627-byte shell, +1 when the Y DC
-             -- diff (doc_id % 60 - 24) needs a >1-bit magnitude
+             -- diff (doc_id % 60 - 24) needs a >1-bit magnitude;
+             -- g4 re-encodes as BMP with a pad-free stride (3w % 4=0)
              CASE WHEN doc_id % 3 = 0 THEN
                     CASE WHEN doc_id % 60 BETWEEN 23 AND 25
                          THEN 627 ELSE 628 END
+                  WHEN doc_id % 3 = 2 THEN
+                    54 + 3 * (12 + 4 * ((doc_id // 3) % 3))
+                           * (6 + 2 * ((doc_id // 3) % 2))
                   ELSE 54 + ((3 * (4 + doc_id % 5) + 3) // 4 * 4)
                           * (3 + doc_id % 3) END AS n_bytes,
              FALSE AS decode_failed

@@ -41,9 +41,12 @@ exact), ASCIIHexDecode, ASCII85Decode and declared-order filter
 CHAINS; the RC4 standard security handler for empty-user-password
 encrypted files (per-object keys, decrypt-before-filters, /U
 verification — password-protected files error instead of salvaging
-ciphertext).  Still plug-in territory: JBIG2/CCITT/JPX image codecs
-(DCT decodes since r6 via the from-scratch baseline JPEG codec,
-functions/jpeg.py) and vertical WRITING MODE (rotated 90/270 labels
+ciphertext).  Still plug-in territory: JBIG2/JPX image codecs (DCT
+decodes since r6 via the from-scratch baseline JPEG codec,
+functions/jpeg.py; CCITT Group 4 — the scanned-document encoding —
+decodes since r6 via the from-scratch T.6 codec, functions/ccitt.py;
+G3/1-D and /EncodedByteAlign CCITT variants pass through) and
+vertical WRITING MODE (rotated 90/270 labels
 parse into oriented elements since r6; the reference pins
 detect_vertical=False, pdf_utils.py:201).
 Round 6: Helvetica without /Widths resolves through the REAL AFM
@@ -330,8 +333,10 @@ def build_tiny_pdf(
             # (decodable subset); 'dct' embeds a REAL baseline JPEG
             # /DCTDecode payload (r6 — functions/jpeg.py codec; a
             # uniform gray with even value round-trips EXACTLY, the
-            # oracle contract); 'jbig2' embeds an undecodable payload
-            # (the remaining plug-in passthrough shape)
+            # oracle contract); 'g4' embeds a REAL CCITT Group 4
+            # bilevel payload (r6 — functions/ccitt.py, lossless);
+            # 'jbig2' embeds an undecodable payload (the remaining
+            # plug-in passthrough shape)
             kind = im[4] if len(im) > 4 else "rgb"
             iw = int(im[5]) if len(im) > 5 else 8
             ih = int(im[6]) if len(im) > 6 else 6
@@ -358,6 +363,28 @@ def build_tiny_pdf(
                     b" /BitsPerComponent 8 /Filter /DCTDecode"
                     b" /Length %d >>\nstream\n%s\nendstream"
                     % (iw, ih, len(jp), jp))
+            elif kind == "g4":
+                # CCITT Group 4 bilevel (r6 — functions/ccitt.py
+                # codec): vertical stripes of period 4, phase taken
+                # from the color tuple's first entry so fixtures vary
+                # content deterministically.  BlackIs1 stays at its
+                # default (false) so ink decodes to bit 0 = gray 0 =
+                # black, the real-scanner convention.
+                import numpy as _np
+
+                from .ccitt import build_ccitt_g4
+
+                phase = int(rgb[0]) % 4
+                col = (_np.arange(iw) + phase) % 4 < 2
+                ink = _np.broadcast_to(col, (ih, iw))
+                g4 = build_ccitt_g4(ink)
+                objs.append(
+                    b"<< /Type /XObject /Subtype /Image /Width %d"
+                    b" /Height %d /ColorSpace /DeviceGray"
+                    b" /BitsPerComponent 1 /Filter /CCITTFaxDecode"
+                    b" /DecodeParms << /K -1 /Columns %d /Rows %d >>"
+                    b" /Length %d >>\nstream\n%s\nendstream"
+                    % (iw, ih, iw, ih, len(g4), g4))
             elif kind == "jbig2":
                 blob = b"JBIG2PAYLOAD" + bytes(rgb) * 4
                 objs.append(
@@ -1941,6 +1968,50 @@ _IMAGE_CODEC_TYPES = {
     b"CCITTFaxDecode": "image/ccitt",
 }
 
+_DECPARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*<<(.*?)>>", re.S)
+_CCITT_K_RE = re.compile(rb"/K\s+(-?\d+)")
+_CCITT_COLS_RE = re.compile(rb"/Columns\s+(\d+)")
+_CCITT_ROWS_RE = re.compile(rb"/Rows\s+(\d+)")
+_BLACKIS1_RE = re.compile(rb"/BlackIs1\s+true")
+_BYTEALIGN_RE = re.compile(rb"/EncodedByteAlign\s+true")
+_DECODE_ARR_RE = re.compile(rb"/Decode\s*\[\s*([\d.]+)\s+([\d.]+)\s*\]")
+
+
+def _try_ccitt(head: bytes, payload: bytes,
+               height: int | None) -> bytes | None:
+    """Decode a /CCITTFaxDecode stream in the implemented subset
+    (K < 0 pure G4, no /EncodedByteAlign — functions/ccitt.py) and
+    re-encode as BMP; None routes the caller to undecoded passthrough
+    ('image/ccitt'), same contract as JBIG2/JPX.  /BlackIs1 and the
+    image /Decode array apply per the spec chain (g4_to_gray)."""
+    pm = _DECPARMS_RE.search(head)
+    parms = pm.group(1) if pm else b""
+    km = _CCITT_K_RE.search(parms)
+    if (int(km.group(1)) if km else 0) >= 0 or _BYTEALIGN_RE.search(parms):
+        return None  # 1-D / mixed G3 or byte-aligned: plug-in territory
+    cm = _CCITT_COLS_RE.search(parms)
+    rm = _CCITT_ROWS_RE.search(parms)
+    rows = int(rm.group(1)) if rm else height
+    try:
+        from .ccitt import CcittError, g4_to_gray, parse_ccitt_g4
+
+        ink = parse_ccitt_g4(
+            payload, int(cm.group(1)) if cm else 1728, rows)
+    except CcittError:
+        return None  # corrupt stream: element + bytes still surface
+    if ink.shape[0] == 0:
+        return None
+    dm = _DECODE_ARR_RE.search(head)
+    gray = g4_to_gray(
+        ink, blackis1=bool(_BLACKIS1_RE.search(parms)),
+        decode=((float(dm.group(1)), float(dm.group(2))) if dm
+                else (0.0, 1.0)))
+    import numpy as np
+
+    from .media import build_bmp
+
+    return build_bmp(np.repeat(gray[:, :, None], 3, axis=2))
+
 
 def extract_pdf_images(data: bytes) -> list[tuple[str, str, int | None,
                                                   int | None, bytes]]:
@@ -1987,12 +2058,19 @@ def extract_pdf_images(data: bytes) -> list[tuple[str, str, int | None,
                  else _FILTER_ONE_RE.findall(head))
         codec = next((n for n in names if n in _IMAGE_CODEC_TYPES), None)
         if codec is not None:
-            # plug-in codec: undecoded passthrough (decode any
-            # transport filters BEFORE the codec in the chain)
+            # image codec: decode any transport filters BEFORE it in
+            # the declared chain, then decode the subset we implement
+            # (CCITT G4 since r6, functions/ccitt.py) to BMP; the rest
+            # pass through undecoded with their media_type
             for n in names:
                 if n == codec:
                     break
                 payload = _decode_filter(n, payload)
+            if codec == b"CCITTFaxDecode":
+                bmp = _try_ccitt(head, payload, height)
+                if bmp is not None:
+                    out.append((target, "image/bmp", width, height, bmp))
+                    continue
             out.append((target, _IMAGE_CODEC_TYPES[codec],
                         width, height, payload))
             continue
