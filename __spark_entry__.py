@@ -1166,6 +1166,25 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.quota_sample(d, "domain", 20)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk training-sequence packing (GPT-2/3 recipe):
+    every document gets its deterministic slot — shard, stream
+    position, window index/offset — in the EOD-joined token stream,
+    without materializing the stream.  Per-shard cumsum, not a global
+    sort (the 100-TB shape); md5-prefix shard + md5 order make the
+    assignment stable under resharding, the cross-engine contract the
+    DuckDB twin restates with window functions."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", textstats.num_tokens(F.col("text")).alias("n_tokens"))
+    out = curation.pack_sequences(d, seq_len=512, shards=8)
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("start_pos").cast("bigint").alias("start_pos"),
+        F.col("seq_index").cast("bigint").alias("seq_index"),
+        F.col("seq_offset").cast("bigint").alias("seq_offset"))
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     dupes = d.withColumn("doc_id", F.col("doc_id") + 10_000_000)
@@ -1888,7 +1907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       window A (recorded in EVEN verdict rounds, r4/r6 = THIS round's
         first 50): the SURVEY S2-mapped extraction/text/events/
         curation operators, led by this round's must-record set —
-        `pdf_images` (new) and every query whose code changed in r6
+        `pdf_images` + `pack_sequences` (new; pdf_images carries the
+        r6 JPEG/CCITT decode rotation) and every query whose code
+        changed in r6
         (pdfparse image XObjects + rotated text + real-AFM Helvetica
         widths; rtf \\pict; pipeline magic probes; multimodal numpy
         run-split; knn_graph zero-action routing; pdflayout template
@@ -1921,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "knn_graph_lsh": q_knn_graph_lsh,
         "docx_spans": q_docx_spans,
+        "pack_sequences": q_pack_sequences,
         # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
@@ -3129,6 +3151,29 @@ def oracle_sql() -> dict[str, str]:
         "drop_duplicated_windows": drop_windows_oracle,
         "unigram_logprob": unigram_logprob_oracle,
         "quota_sample": quota_sample_oracle,
+        "pack_sequences": r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) + 1 AS contrib,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), s AS (
+      SELECT doc_id, h, contrib,
+             ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard
+      FROM t
+    ), c AS (
+      SELECT doc_id, shard,
+             SUM(contrib) OVER (PARTITION BY shard ORDER BY h, doc_id
+                 ROWS UNBOUNDED PRECEDING) - contrib AS start_pos
+      FROM s
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(start_pos AS BIGINT) AS start_pos,
+           CAST(start_pos // 512 AS BIGINT) AS seq_index,
+           CAST(start_pos % 512 AS BIGINT) AS seq_offset
+    FROM c
+    """,
         "quality_filter": quality_filter_oracle,
         "minhash_signature": minhash_oracle,
         "simhash": simhash_oracle,

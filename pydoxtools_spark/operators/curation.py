@@ -453,3 +453,65 @@ def quality_filter(
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
     )
+
+
+# ----------------------------------------------- sequence packing
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shards: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk training-sequence packing (the GPT-2/3 data
+    recipe: documents joined by one EOD token into a stream that is
+    sliced into fixed seq_len-token windows).  Assigns each document
+    its slot in that stream WITHOUT materializing it: the writer job
+    that later emits token files needs only (shard, start_pos).
+
+    Deterministic by construction: shard = md5(id) prefix mod
+    `shards`, order within a shard = (md5(id), id) — stable under
+    resharding and re-runs, the same leakage-safe-hash idea as
+    deterministic_split.  Each document contributes token_col + 1
+    (its EOD) to the stream; start_pos is the running total BEFORE
+    the document, seq_index/seq_offset locate its first token in the
+    window grid.
+
+    Adds: shard, start_pos, seq_index, seq_offset.
+
+    Scale shape: one shuffle on `shard` + a per-shard window cumsum —
+    a GLOBAL stream order would serialize 100 TB through one sort, so
+    packing is per-shard by design (shards are independent training
+    files; raise `shards` until a shard's documents fit one task
+    comfortably).  All arithmetic is bigint JVM-side; no python.
+
+    Cross-engine twin (DuckDB):
+      shard:   ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % S
+      cumsum:  SUM(n+1) OVER (PARTITION BY shard
+               ORDER BY md5(id::VARCHAR), id
+               ROWS UNBOUNDED PRECEDING) - (n+1)
+    """
+    from pyspark.sql import Window
+
+    if seq_len < 1 or shards < 1:
+        raise ValueError(f"seq_len/shards must be >= 1, "
+                         f"got {seq_len}/{shards}")
+    h = F.md5(F.col(id_col).cast("string"))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"),
+        F.lit(shards))
+    w = (Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    contrib = (F.col(token_col) + F.lit(1)).cast("bigint")
+    return (
+        df.withColumn("_h", h)
+        .withColumn("shard", shard)
+        .withColumn("start_pos",
+                    (F.sum(contrib).over(w) - contrib).cast("bigint"))
+        .withColumn("seq_index", F.expr(f"start_pos div {int(seq_len)}"))
+        .withColumn("seq_offset",
+                    F.pmod(F.col("start_pos"), F.lit(int(seq_len))))
+        .drop("_h")
+    )

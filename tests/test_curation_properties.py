@@ -278,3 +278,48 @@ def test_sessionize_matches_python_reference(spark):
             r["session_end"] == w["end"], k
         assert r["n_events"] == w["n"], k
         assert abs(r["sum_value"] - round(w["sum"], 4)) < 1e-6, k
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    """Concat-and-chunk packing: per-shard streams are contiguous
+    (each start at 0, gapless through contrib = n_tokens + 1),
+    window math is consistent, and the assignment is stable under
+    input order / extra partitions (hash-deterministic)."""
+    import hashlib
+
+    from pydoxtools_spark.operators.curation import pack_sequences
+
+    rows = [(i, (i * 7) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {r["doc_id"]: r for r in
+           pack_sequences(df, seq_len=32, shards=4).collect()}
+    assert len(got) == 200
+
+    # python reference: same md5 shard + order + cumsum
+    by_shard = {}
+    for i, n in rows:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        by_shard.setdefault(int(h[:8], 16) % 4, []).append((h, i, n))
+    for shard, docs in by_shard.items():
+        docs.sort()
+        pos = 0
+        for h, i, n in docs:
+            r = got[i]
+            assert r["shard"] == shard, i
+            assert r["start_pos"] == pos, i
+            assert r["seq_index"] == pos // 32, i
+            assert r["seq_offset"] == pos % 32, i
+            pos += n + 1
+
+    # stability: reversed input order + different partitioning
+    # produces the identical assignment
+    df2 = spark.createDataFrame(list(reversed(rows)),
+                                "doc_id long, n_tokens long").repartition(7)
+    got2 = {r["doc_id"]: (r["shard"], r["start_pos"]) for r in
+            pack_sequences(df2, seq_len=32, shards=4).collect()}
+    assert got2 == {k: (v["shard"], v["start_pos"])
+                    for k, v in got.items()}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pack_sequences(df, seq_len=0)
