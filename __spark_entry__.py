@@ -811,6 +811,55 @@ def q_wiki_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exploded_spans(spark, docs_in)
 
 
+def q_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF container decode under the oracle (r6 — functions/tiff.py,
+    strips decoded through the package's own CCITT G4 / LZW / PackBits
+    coders): per doc one TIFF rotating through all four compressions
+    by doc_id % 4 — uncompressed RGB, G4 bilevel stripes (half ink ->
+    mean 127 analytically), LZW + Predictor 2 RGB, PackBits RGB.
+    Uniform colors keep the mean exact under LOSSLESS compression, so
+    the DuckDB twin restates width/height/mean purely arithmetically
+    (n_bytes intentionally not selected: compressed sizes aren't
+    closed-form in SQL; the pytest layer pins the uncompressed ones)."""
+    from pydoxtools_spark.operators.multimodal import MEDIA, media_features
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pydoxtools_spark.functions.tiff import build_tiff, build_tiff_g4
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 4 == 1:
+                    w = 12 + 4 * ((i // 4) % 3)
+                    h = 6 + 2 * ((i // 4) % 2)
+                    col = (np.arange(w) + (i // 4)) % 4 < 2
+                    blob = build_tiff_g4(np.broadcast_to(col, (h, w)))
+                else:
+                    w, h = 5 + i % 7, 4 + i % 5
+                    px = np.zeros((h, w, 3), dtype=np.uint8)
+                    px[:, :] = (i % 200, 100, 50)
+                    comp, pred = [("none", 1), None, ("lzw", 2),
+                                  ("packbits", 1)][i % 4]
+                    blob = build_tiff(px, compression=comp, predictor=pred)
+                rows.append((f"media://tiff/{i}", "image", blob, None))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "media_type", "content", "meta"])
+
+    media = d.repartition(32).mapInPandas(gen_media, MEDIA)
+    feats = media_features(media)
+    return feats.select(
+        F.regexp_extract("media_ref", r"(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        "width", "height", "mean_level",
+        F.col("decode_error").isNotNull().alias("decode_failed"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode+feature tier under the oracle: deterministic
     BMP (even docs) / WAV (odd docs) blobs generated per doc, decoded
@@ -1943,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph_lsh": q_knn_graph_lsh,
         "docx_spans": q_docx_spans,
         "pack_sequences": q_pack_sequences,
+        "tiff_features": q_tiff_features,
         # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
@@ -3136,6 +3186,22 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     """,
         "media_features": media_oracle,
+        "tiff_features": """
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 1
+                THEN 12 + 4 * ((doc_id // 4) % 3)
+                ELSE 5 + doc_id % 7 END AS width,
+           CASE WHEN doc_id % 4 = 1
+                THEN 6 + 2 * ((doc_id // 4) % 2)
+                ELSE 4 + doc_id % 5 END AS height,
+           -- g4 stripes are half ink (period 4, width % 4 = 0);
+           -- uniform RGB means are exact under lossless compression
+           CASE WHEN doc_id % 4 = 1 THEN 127
+                ELSE (299 * (doc_id % 200) + 587 * 100 + 114 * 50)
+                     // 1000 END AS mean_level,
+           FALSE AS decode_failed
+    FROM documents
+    """,
         "doc_type_dispatch": dispatch_oracle,
         "token_stats": token_oracle,
         "lang_id": lang_oracle,

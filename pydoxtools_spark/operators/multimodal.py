@@ -104,6 +104,16 @@ def decode_media(media_type: str, content: bytes) -> dict:
         w, h, px = parse_png(content)
         hist, mean = luminance_hist16(px)
         return {"width": w, "height": h, "feature": hist, "mean_level": mean}
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF (r6 from-scratch container — functions/tiff.py; strips
+        # decode through the codecs the package already ships: CCITT
+        # G4, TIFF-variant LZW, PackBits.  Tiled/exotic shapes raise
+        # into the contained decode_error column)
+        from ..functions.tiff import parse_tiff
+
+        w, h, px = parse_tiff(content)
+        hist, mean = luminance_hist16(px)
+        return {"width": w, "height": h, "feature": hist, "mean_level": mean}
     if content[:4] == b"RIFF":
         rate, samples = parse_wav(content)
         hist, mean = amplitude_hist16(samples)
