@@ -985,6 +985,8 @@ def ingest_blobs(spark: SparkSession, blobs: DataFrame,
         F.expr("startswith(content, X'89504E47')")        # PNG
         | F.expr("startswith(content, X'FFD8FF')")        # JPEG
         | F.expr("startswith(content, X'47494638')")      # GIF8
+        | F.expr("startswith(content, X'49492A00')")      # TIFF II
+        | F.expr("startswith(content, X'4D4D002A')")      # TIFF MM
         | F.expr("startswith(content, X'1F8B')")          # gzip
         | F.expr("startswith(content, X'7F454C46')")      # ELF
         # BM / RIFF are printable-ASCII prefixes: a text file starting

@@ -126,3 +126,22 @@ def test_media_features_decodes_tiff(spark):
     assert out["t3"]["mean_level"] == 64
     assert out["t4"]["decode_error"] is not None
     assert out["t4"]["width"] is None
+
+
+def test_ingest_routes_tiff_blobs_to_binary(spark):
+    """TIFF magics route to the 'binary' in_kind at the JVM prefix
+    stage (both magics embed a NUL, so no printable-text payload can
+    false-positive); a text file is untouched."""
+    from pydoxtools_spark.pipeline import ingest_blobs
+
+    rows = [("t.tif", bytearray(build_tiff(_rgb(1, 3, 3)))),
+            ("m.tif", bytearray(build_tiff(_rgb(2, 3, 3),
+                                           byte_order="MM"))),
+            ("a.txt", bytearray("II* not a tiff, just text".encode()))]
+    blobs = spark.createDataFrame(rows, "ref string, content binary")
+    parts = ingest_blobs(spark, blobs, persist=False)
+    spans = {r["doc_id"]: r["spans"] for r in
+             parts["documents_in"].collect()}
+    assert [s["kind"] for s in spans["t.tif"]] == ["binary"]
+    assert [s["kind"] for s in spans["m.tif"]] == ["binary"]
+    assert [s["kind"] for s in spans["a.txt"]] == ["text"]
