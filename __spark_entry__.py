@@ -860,6 +860,53 @@ def q_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decode_error").isNotNull().alias("decode_failed"))
 
 
+def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode under the oracle (r6 — functions/gif.py: LSB-first
+    LZW with the giflib width schedule, palette indirection,
+    interlace): every 3rd doc a two-color even-width stripe image
+    (half black / half (200,200,200) -> mean exactly 100), the rest a
+    uniform palette color; odd docs write INTERLACED frames so the
+    4-pass row permutation round-trips through the kernel.  The DuckDB
+    twin restates width/height/mean arithmetically (GIF LZW sizes
+    aren't closed-form in SQL, so n_bytes stays a pytest concern)."""
+    from pydoxtools_spark.operators.multimodal import MEDIA, media_features
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pydoxtools_spark.functions.gif import build_gif
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 3 == 0:
+                    w, h = 6 + 2 * (i % 4), 5 + i % 3
+                    pal = np.array([[0, 0, 0], [200, 200, 200]],
+                                   dtype=np.uint8)
+                    idx = np.broadcast_to(
+                        np.arange(w) % 2, (h, w)).astype(np.uint8)
+                else:
+                    w, h = 5 + i % 6, 4 + i % 4
+                    pal = np.array([[i % 200, 100, 50]], dtype=np.uint8)
+                    idx = np.zeros((h, w), dtype=np.uint8)
+                blob = build_gif(idx, pal, interlace=bool(i % 2))
+                rows.append((f"media://gif/{i}", "image", blob, None))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "media_type", "content", "meta"])
+
+    media = d.repartition(32).mapInPandas(gen_media, MEDIA)
+    feats = media_features(media)
+    return feats.select(
+        F.regexp_extract("media_ref", r"(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        "width", "height", "mean_level",
+        F.col("decode_error").isNotNull().alias("decode_failed"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode+feature tier under the oracle: deterministic
     BMP (even docs) / WAV (odd docs) blobs generated per doc, decoded
@@ -1993,6 +2040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_spans": q_docx_spans,
         "pack_sequences": q_pack_sequences,
         "tiff_features": q_tiff_features,
+        "gif_features": q_gif_features,
         # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
@@ -3186,6 +3234,20 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     """,
         "media_features": media_oracle,
+        "gif_features": """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 6 + 2 * (doc_id % 4)
+                ELSE 5 + doc_id % 6 END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN 5 + doc_id % 3
+                ELSE 4 + doc_id % 4 END AS height,
+           -- stripes: half black / half gray-200 over an even width;
+           -- uniform color is exact (GIF is lossless)
+           CASE WHEN doc_id % 3 = 0 THEN 100
+                ELSE (299 * (doc_id % 200) + 587 * 100 + 114 * 50)
+                     // 1000 END AS mean_level,
+           FALSE AS decode_failed
+    FROM documents
+    """,
         "tiff_features": """
     SELECT doc_id,
            CASE WHEN doc_id % 4 = 1

@@ -104,6 +104,14 @@ def decode_media(media_type: str, content: bytes) -> dict:
         w, h, px = parse_png(content)
         hist, mean = luminance_hist16(px)
         return {"width": w, "height": h, "feature": hist, "mean_level": mean}
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        # GIF (r6 from-scratch codec — functions/gif.py; first frame,
+        # LSB-first LZW with the giflib width schedule)
+        from ..functions.gif import parse_gif
+
+        w, h, px = parse_gif(content)
+        hist, mean = luminance_hist16(px)
+        return {"width": w, "height": h, "feature": hist, "mean_level": mean}
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         # TIFF (r6 from-scratch container — functions/tiff.py; strips
         # decode through the codecs the package already ships: CCITT
