@@ -105,3 +105,37 @@ def test_media_features_decodes_gif(spark):
     assert out["g1"]["mean_level"] == 127
     assert (out["g1"]["width"], out["g1"]["height"]) == (16, 8)
     assert out["g2"]["decode_error"] is not None
+
+
+def test_container_embedded_gif_and_tiff_decode(spark):
+    """Cross-format property: GIF and TIFF payloads embedded in a docx
+    decode through the same container_media_blobs -> media_features
+    path as BMP/PNG/JPEG — decode_media dispatches on content magic,
+    so new codecs reach every container for free."""
+    from pyspark.sql import functions as F
+
+    from pydoxtools_spark.functions.docx import build_tiny_docx
+    from pydoxtools_spark.functions.tiff import build_tiff
+    from pydoxtools_spark.operators.multimodal import media_features
+    from pydoxtools_spark.pipeline import container_media_blobs
+
+    gif = build_gif(np.zeros((3, 5), np.uint8),
+                    np.array([[120, 120, 120]], np.uint8))
+    tif = build_tiff(np.full((4, 6, 3), 80, np.uint8),
+                     compression="packbits")
+    docx = build_tiny_docx([
+        ("image", "media/a.gif", gif),
+        ("text", "body"),
+        ("image", "media/b.tif", tif),
+    ])
+    blobs = spark.createDataFrame([("d://1", bytearray(docx))],
+                                  "ref string, content binary")
+    feats = media_features(
+        container_media_blobs(blobs).filter("error IS NULL").select(
+            "media_ref", "media_type", "content",
+            F.lit(None).cast("map<string,string>").alias("meta")))
+    out = {r["media_ref"].split("#")[1]: r for r in feats.collect()}
+    assert out["media/a.gif"]["mean_level"] == 120
+    assert (out["media/a.gif"]["width"], out["media/a.gif"]["height"]) == (5, 3)
+    assert out["media/b.tif"]["mean_level"] == 80
+    assert out["media/b.tif"]["decode_error"] is None
