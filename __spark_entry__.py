@@ -907,6 +907,52 @@ def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decode_error").isNotNull().alias("decode_failed"))
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC segment ingestion (r6 — functions/warc.py + loaders.
+    warc_records): per doc one member-gzip WARC segment (the Common
+    Crawl convention) holding a warcinfo record plus 2 + doc_id % 3
+    HTTP response records; the exploder must decode the gzip members,
+    frame records by Content-Length, strip the HTTP header blocks and
+    surface type/URI — the oracle restates record counts, body sizes
+    and body md5s purely from the generating parameters."""
+    from pydoxtools_spark.sources.loaders import warc_records
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_segments(batches):
+        import pandas as pd
+
+        from pydoxtools_spark.functions.warc import build_warc
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                recs = [({"WARC-Type": "warcinfo",
+                          "WARC-Record-ID": f"<urn:uuid:{i}>"},
+                         f"software: engine {i}\r\n".encode())]
+                for j in range(1, 3 + i % 3):
+                    body = f"<html><body>doc {i} rec {j}</body></html>"
+                    recs.append((
+                        {"WARC-Type": "response",
+                         "WARC-Target-URI": f"http://ex.com/{i}/{j}"},
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                        b"\r\n\r\n" + body.encode()))
+                rows.append((str(i), build_warc(recs, gzip_members=True)))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    blobs = d.repartition(32).mapInPandas(
+        gen_segments, "path string, content binary")
+    recs = warc_records(blobs)
+    return recs.select(
+        F.col("ref").cast("bigint").alias("doc_id"),
+        F.col("rec_idx").cast("bigint").alias("rec_idx"),
+        "warc_type", "target_uri",
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("body_md5"),
+        F.col("error").isNotNull().alias("failed"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode+feature tier under the oracle: deterministic
     BMP (even docs) / WAV (odd docs) blobs generated per doc, decoded
@@ -2041,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "tiff_features": q_tiff_features,
         "gif_features": q_gif_features,
+        "warc_ingest": q_warc_ingest,
         # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
@@ -3234,6 +3281,32 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     """,
         "media_features": media_oracle,
+        "warc_ingest": """
+    WITH r AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(2 + doc_id % 3 AS BIGINT)))
+               AS j
+      FROM documents
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS rec_idx,
+           CASE WHEN j = 0 THEN 'warcinfo' ELSE 'response' END
+             AS warc_type,
+           CASE WHEN j = 0 THEN NULL
+                ELSE 'http://ex.com/' || CAST(doc_id AS VARCHAR)
+                     || '/' || CAST(j AS VARCHAR) END AS target_uri,
+           CASE WHEN j = 0
+                THEN 19 + length(CAST(doc_id AS VARCHAR))
+                ELSE 35 + length(CAST(doc_id AS VARCHAR))
+                        + length(CAST(j AS VARCHAR)) END AS n_bytes,
+           CASE WHEN j = 0
+                THEN md5('software: engine ' || CAST(doc_id AS VARCHAR)
+                         || chr(13) || chr(10))
+                ELSE md5('<html><body>doc ' || CAST(doc_id AS VARCHAR)
+                         || ' rec ' || CAST(j AS VARCHAR)
+                         || '</body></html>') END AS body_md5,
+           FALSE AS failed
+    FROM r
+    """,
         "gif_features": """
     SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 6 + 2 * (doc_id % 4)
