@@ -1327,6 +1327,32 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq_offset").cast("bigint").alias("seq_offset"))
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering (r6 — curation.filter_url_blocklist,
+    the C4/RefinedWeb UT1 move): synthetic per-doc URLs rotate through
+    a parent-domain match, a clean host, a deep subdomain match and a
+    near-miss ('notbad.com' must NOT match 'bad.com'); the oracle
+    restates host/verdict from the generating rotation."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"),
+            F.element_at(
+                F.array(F.lit("news.bad.com"), F.lit("ok.site.org"),
+                        F.lit("x.y.spam.net"), F.lit("notbad.com")),
+                (F.col("doc_id") % 4 + 1).cast("int")),
+            F.lit("/p/"), F.col("doc_id").cast("string")).alias("url"))
+    bl = spark.createDataFrame([("bad.com",), ("spam.net",)],
+                               "domain string")
+    out = curation.filter_url_blocklist(d, bl)
+    return out.select(
+        "doc_id", "host",
+        # '' = clean: the driver compare sorts row tuples, and python
+        # can't order None against str
+        F.coalesce("blocked_domain", F.lit("")).alias("blocked_domain"),
+        "keep")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
     dupes = d.withColumn("doc_id", F.col("doc_id") + 10_000_000)
@@ -2088,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tiff_features": q_tiff_features,
         "gif_features": q_gif_features,
         "warc_ingest": q_warc_ingest,
+        "url_filter": q_url_filter,
         # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
@@ -3352,6 +3379,17 @@ def oracle_sql() -> dict[str, str]:
         "drop_duplicated_windows": drop_windows_oracle,
         "unigram_logprob": unigram_logprob_oracle,
         "quota_sample": quota_sample_oracle,
+        "url_filter": """
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'news.bad.com'
+                WHEN 1 THEN 'ok.site.org'
+                WHEN 2 THEN 'x.y.spam.net'
+                ELSE 'notbad.com' END AS host,
+           CASE doc_id % 4 WHEN 0 THEN 'bad.com'
+                WHEN 2 THEN 'spam.net' ELSE '' END AS blocked_domain,
+           doc_id % 4 IN (1, 3) AS keep
+    FROM documents
+    """,
         "pack_sequences": r"""
     WITH t AS (
       SELECT doc_id,

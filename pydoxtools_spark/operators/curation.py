@@ -515,3 +515,49 @@ def pack_sequences(
                     F.pmod(F.col("start_pos"), F.lit(int(seq_len))))
         .drop("_h")
     )
+
+
+# ------------------------------------------- URL blocklist filtering
+
+
+def filter_url_blocklist(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    broadcast_blocked: bool = True,
+) -> DataFrame:
+    """Domain-blocklist filtering — the C4/RefinedWeb curation move
+    (both drop documents whose REGISTRABLE host matches a bad-domain
+    list, e.g. the UT1 categories): a URL's host matches if the host
+    itself OR ANY parent domain is listed (x.ads.bad.com matches
+    bad.com).
+
+    Adds `host`, `blocked_domain` (null = clean) and `keep`.
+
+    Scale shape: suffix expansion runs on DISTINCT hosts, not
+    documents (web corpora have ~1e7 hosts against ~1e10 docs), so
+    the only full-width operation is a broadcast join of the blocked-
+    host table back onto the documents — no document-table shuffle.
+    `broadcast_blocked=False` opts into a shuffle join when the
+    blocklist coverage is too large to broadcast.  Suffix matching is
+    pure Catalyst (split + transform + explode); no python."""
+    host = F.lower(F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    hosts = df.select(host.alias("host")).filter(
+        F.col("host") != "").distinct()
+    # every dot-suffix of the host: a.b.c -> [a.b.c, b.c, c]
+    sufs = hosts.select(
+        "host",
+        F.explode(F.expr(
+            "transform(sequence(1, size(split(host, '[.]'))), "
+            "i -> array_join(slice(split(host, '[.]'), i, "
+            "size(split(host, '[.]'))), '.'))")).alias("suf"))
+    blocked = (
+        sufs.join(F.broadcast(blocklist.select(
+            F.lower("domain").alias("suf"))), "suf")
+        .groupBy("host").agg(F.min("suf").alias("blocked_domain")))
+    if broadcast_blocked:
+        blocked = F.broadcast(blocked)
+    return (df.withColumn("host", host)
+            .join(blocked, "host", "left")
+            .withColumn("keep", F.col("blocked_domain").isNull()))

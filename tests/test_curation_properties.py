@@ -323,3 +323,36 @@ def test_pack_sequences_matches_python_reference(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         pack_sequences(df, seq_len=0)
+
+
+def test_filter_url_blocklist_suffix_semantics(spark):
+    """Host matches when it or ANY parent domain is listed; ports,
+    query strings, schemes and case don't confuse the host extract;
+    schemeless rows keep (no host = no evidence)."""
+    from pydoxtools_spark.operators.curation import filter_url_blocklist
+
+    rows = [
+        (0, "http://news.BAD.com/article?x=1"),     # parent match
+        (1, "https://ok.site.org/p"),               # clean
+        (2, "http://x.y.spam.net:8080/z"),          # deep parent + port
+        (3, "http://bad.com/"),                     # exact match
+        (4, "http://notbad.com/"),                  # NOT a suffix match
+        (5, "ftp://sub.bad.com"),                   # other scheme
+        (6, "no-scheme-at-all"),                    # no host -> keep
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame([("bad.com",), ("SPAM.net",)],
+                               "domain string")
+    got = {r["doc_id"]: r for r in
+           filter_url_blocklist(df, bl).collect()}
+    assert [got[i]["keep"] for i in range(7)] == \
+        [False, True, False, False, True, False, True]
+    assert got[0]["blocked_domain"] == "bad.com"
+    assert got[2]["blocked_domain"] == "spam.net"
+    assert got[0]["host"] == "news.bad.com"
+    assert got[6]["host"] == ""
+    # scale-shape invariant: the doc table never shuffles (the only
+    # exchanges below the final join feed the DISTINCT-host side)
+    plan = filter_url_blocklist(
+        df, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
