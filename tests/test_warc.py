@@ -128,3 +128,48 @@ def test_wet_style_segment_through_ingest(spark):
         s = spans[f"http://ex.com/{i}"]
         assert [x["kind"] for x in s] == ["text"]
         assert s[0]["text"] == f"document {i} body text"
+
+
+def test_warc_records_streaming_segments(spark, tmp_path):
+    """Crawl segments arrive incrementally: binaryFile readStream ->
+    warc_records -> append sink.  warc_records is a stateless
+    mapInPandas, so it runs unchanged on a streaming frame — new
+    segment files become new record rows, already-seen files don't
+    re-emit (source tracking), the incremental-crawl-processing
+    shape."""
+    import pathlib
+
+    from pydoxtools_spark.sources.loaders import warc_records
+
+    in_dir = tmp_path / "segments"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    in_dir.mkdir()
+
+    def write_segment(name: str, lo: int, hi: int) -> None:
+        recs = [({"WARC-Type": "conversion",
+                  "WARC-Target-URI": f"http://ex.com/{i}"},
+                 f"doc {i}".encode()) for i in range(lo, hi)]
+        pathlib.Path(in_dir, name).write_bytes(
+            build_warc(recs, gzip_members=True))
+
+    def drain() -> None:
+        src = spark.readStream.format("binaryFile").schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary").load(str(in_dir))
+        q = (warc_records(src, ref_col="path").writeStream
+             .format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write_segment("s0.warc.gz", 0, 3)
+    drain()
+    write_segment("s1.warc.gz", 3, 5)
+    drain()
+    rows = spark.read.parquet(out_dir).collect()
+    uris = sorted(r["target_uri"] for r in rows)
+    assert uris == [f"http://ex.com/{i}" for i in range(5)]  # no re-emits
+    assert all(r["error"] is None for r in rows)
+    assert {bytes(r["content"]).decode() for r in rows} == \
+        {f"doc {i}" for i in range(5)}
