@@ -130,6 +130,13 @@ def _parse_ifd(data: bytes, e: str) -> tuple[int, int, np.ndarray]:
                                             data, vo))
     if 322 in tags or 323 in tags:
         raise MediaDecodeError("tiled TIFF unsupported (strip subset)")
+    if tags.get(284, [1])[0] != 1:
+        # planar RGB would decode to channel-scrambled garbage —
+        # refuse loudly, the contained-plug-point contract
+        raise MediaDecodeError("planar TIFF unsupported (chunky subset)")
+    if tags.get(266, [1])[0] != 1:
+        raise MediaDecodeError(
+            "FillOrder 2 (LSB-first fax) unsupported")
     width, height = tags[_T_WIDTH][0], tags[_T_HEIGHT][0]
     if width < 1 or height < 1:
         raise MediaDecodeError(f"bad TIFF dimensions {width}x{height}")

@@ -145,3 +145,32 @@ def test_ingest_routes_tiff_blobs_to_binary(spark):
     assert [s["kind"] for s in spans["t.tif"]] == ["binary"]
     assert [s["kind"] for s in spans["m.tif"]] == ["binary"]
     assert [s["kind"] for s in spans["a.txt"]] == ["text"]
+
+
+def test_planar_and_fillorder_rejected():
+    """PlanarConfiguration 2 / FillOrder 2 would decode scrambled
+    pixels -- they must refuse loudly, not emit garbage."""
+    import struct
+
+    base = build_tiff(_rgb(9, 3, 3))
+
+    def with_tag(tag, value):
+        # splice one extra SHORT tag into the IFD (entries are sorted,
+        # parser only maps them, so appending before the next-IFD
+        # pointer and bumping the count is enough)
+        e = "<"
+        (ifd_off,) = struct.unpack_from(e + "I", base, 4)
+        (n,) = struct.unpack_from(e + "H", base, ifd_off)
+        entries_end = ifd_off + 2 + 12 * n
+        entry = struct.pack(e + "HHIHH", tag, 3, 1, value, 0)
+        return (base[:ifd_off] + struct.pack(e + "H", n + 1)
+                + base[ifd_off + 2:entries_end] + entry
+                + base[entries_end:])
+
+    with pytest.raises(MediaDecodeError, match="planar"):
+        parse_tiff(with_tag(284, 2))
+    with pytest.raises(MediaDecodeError, match="FillOrder"):
+        parse_tiff(with_tag(266, 2))
+    # sanity: the splice helper itself yields a parseable file
+    w, h, _ = parse_tiff(with_tag(284, 1))
+    assert (w, h) == (3, 3)
