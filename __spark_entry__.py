@@ -953,6 +953,50 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("error").isNotNull().alias("failed"))
 
 
+def q_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-of-documents ingestion (r6 — loaders.zip_members): per
+    doc one zip holding 1 + doc_id % 3 text members plus a directory
+    entry (skipped); the exploder surfaces (member, size, bytes) with
+    per-member containment, and the oracle restates member names,
+    sizes and body md5s from the generating parameters."""
+    from pydoxtools_spark.sources.loaders import zip_members
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_archives(batches):
+        import io
+        import zipfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w",
+                                     zipfile.ZIP_DEFLATED) as zf:
+                    zf.writestr(zipfile.ZipInfo(
+                        "docs/", (2020, 1, 1, 0, 0, 0)), b"")
+                    for j in range(1 + i % 3):
+                        zf.writestr(
+                            zipfile.ZipInfo(f"docs/m{j}.txt",
+                                            (2020, 1, 1, 0, 0, 0)),
+                            f"member {i} {j} body".encode())
+                rows.append((str(i), buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    blobs = d.repartition(32).mapInPandas(
+        gen_archives, "path string, content binary")
+    out = zip_members(blobs)
+    return out.select(
+        F.col("ref").cast("bigint").alias("doc_id"),
+        "member",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("body_md5"),
+        F.col("error").isNotNull().alias("failed"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode+feature tier under the oracle: deterministic
     BMP (even docs) / WAV (odd docs) blobs generated per doc, decoded
@@ -2115,6 +2159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gif_features": q_gif_features,
         "warc_ingest": q_warc_ingest,
         "url_filter": q_url_filter,
+        "zip_ingest": q_zip_ingest,
         # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
@@ -3308,6 +3353,23 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     """,
         "media_features": media_oracle,
+        "zip_ingest": """
+    WITH r AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT)))
+               AS j
+      FROM documents
+    )
+    SELECT doc_id,
+           'docs/m' || CAST(j AS VARCHAR) || '.txt' AS member,
+           -- 'member {i} {j} body': 13 fixed chars + digits
+           CAST(13 + length(CAST(doc_id AS VARCHAR))
+                   + length(CAST(j AS VARCHAR)) AS BIGINT) AS n_bytes,
+           md5('member ' || CAST(doc_id AS VARCHAR) || ' '
+               || CAST(j AS VARCHAR) || ' body') AS body_md5,
+           FALSE AS failed
+    FROM r
+    """,
         "warc_ingest": """
     WITH r AS (
       SELECT doc_id,

@@ -310,3 +310,68 @@ def warc_records(blobs: DataFrame, ref_col: str = "path",
     return blobs.select(
         F.col(ref_col).alias("ref"), F.col(content_col).alias("content")
     ).mapInPandas(kernel, out_schema)
+
+
+def zip_members(blobs: DataFrame, ref_col: str = "path",
+                content_col: str = "content",
+                max_member_bytes: int | None = None) -> DataFrame:
+    """(ref, content) zip-archive blobs -> one row per member file:
+    (ref, member, n_bytes, content, error).  The archive-of-documents
+    ingest shape (a tarball-less world ships zips): ingest_blobs
+    already recognizes docx/odt/epub zips as CONTAINERS, and routes a
+    plain zip to an auditable 'binary' error — this exploder is the
+    step BEFORE that for archives whose members are the documents.
+
+    Per-member containment: an unreadable member (bad CRC, encrypted,
+    truncated) is its own error row with the member name; a blob that
+    is not a zip at all is one file-level error row.  Members larger
+    than `max_member_bytes` (when set) are skipped as error rows
+    instead of materializing — the zip-bomb guard; directories are
+    skipped silently.
+
+    Scale shape: stateless Arrow-batched mapInPandas, members stay in
+    their archive's scan partition (no shuffle); like warc_records,
+    archive files are the parallelism unit."""
+    import pandas as pd
+
+    out_schema = ("ref string, member string, n_bytes long, "
+                  "content binary, error string")
+
+    def kernel(batches):
+        import io
+        import zipfile
+
+        cols = ["ref", "member", "n_bytes", "content", "error"]
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["ref"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(raw))
+                    infos = zf.infolist()
+                except Exception as e:
+                    rows.append((ref, None, None, None,
+                                 f"{type(e).__name__}: {e}"))
+                    continue
+                for info in infos:
+                    if info.is_dir():
+                        continue
+                    if (max_member_bytes is not None
+                            and info.file_size > max_member_bytes):
+                        rows.append((ref, info.filename, info.file_size,
+                                     None, "member exceeds "
+                                     f"max_member_bytes ({info.file_size})"))
+                        continue
+                    try:
+                        data = zf.read(info)
+                    except Exception as e:  # bad CRC / encrypted / short
+                        rows.append((ref, info.filename, info.file_size,
+                                     None, f"{type(e).__name__}: {e}"))
+                        continue
+                    rows.append((ref, info.filename, len(data),
+                                 data, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.select(
+        F.col(ref_col).alias("ref"), F.col(content_col).alias("content")
+    ).mapInPandas(kernel, out_schema)
