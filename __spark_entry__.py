@@ -997,6 +997,53 @@ def q_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("error").isNotNull().alias("failed"))
 
 
+def q_wds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard ingestion (r6 — loaders.webdataset_samples):
+    per doc one tar shard holding 2 + doc_id % 2 samples, each a
+    .txt caption + .cls label part grouped in-kernel by the basename-
+    stem key; the oracle restates keys, part counts, caption md5s and
+    labels from the generating parameters."""
+    from pydoxtools_spark.sources.loaders import webdataset_samples
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_shards(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    for j in range(2 + i % 2):
+                        for ext, data in (
+                            ("txt", f"caption {i} {j}".encode()),
+                            ("cls", str((i + j) % 10).encode()),
+                        ):
+                            info = tarfile.TarInfo(f"{i}-{j}.{ext}")
+                            info.size = len(data)
+                            info.mtime = 0
+                            tf.addfile(info, io.BytesIO(data))
+                rows.append((str(i), buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    blobs = d.repartition(32).mapInPandas(
+        gen_shards, "path string, content binary")
+    out = webdataset_samples(blobs)
+    return out.select(
+        F.col("ref").cast("bigint").alias("doc_id"),
+        "key",
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.md5(F.element_at("parts", "txt")).alias("txt_md5"),
+        F.element_at("parts", "cls").cast("string").cast("bigint")
+        .alias("cls"),
+        F.col("error").isNotNull().alias("failed"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode+feature tier under the oracle: deterministic
     BMP (even docs) / WAV (odd docs) blobs generated per doc, decoded
@@ -2160,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "url_filter": q_url_filter,
         "zip_ingest": q_zip_ingest,
+        "wds_ingest": q_wds_ingest,
         # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
@@ -3353,6 +3401,23 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     """,
         "media_features": media_oracle,
+        "wds_ingest": """
+    WITH r AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(1 + doc_id % 2 AS BIGINT)))
+               AS j
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(doc_id AS VARCHAR) || '-'
+             || CAST(j AS VARCHAR) AS key,
+           CAST(2 AS BIGINT) AS n_parts,
+           md5('caption ' || CAST(doc_id AS VARCHAR) || ' '
+               || CAST(j AS VARCHAR)) AS txt_md5,
+           CAST((doc_id + j) % 10 AS BIGINT) AS cls,
+           FALSE AS failed
+    FROM r
+    """,
         "zip_ingest": """
     WITH r AS (
       SELECT doc_id,
