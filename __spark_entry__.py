@@ -953,6 +953,43 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("error").isNotNull().alias("failed"))
 
 
+def q_aiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFF decode under the oracle (r6 — the big-endian WAV twin in
+    functions/media.py, 80-bit extended-float rates): per doc one
+    constant-amplitude mono file; mean |sample|, rate and duration are
+    exact from the generating parameters."""
+    from pydoxtools_spark.operators.multimodal import MEDIA, media_features
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pydoxtools_spark.functions.media import build_aiff
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 100 + i % 100
+                amp = (i * 13) % 32768
+                rate = 8000 * (1 + i % 3)
+                rows.append((f"media://aiff/{i}", "audio",
+                             build_aiff(np.full(n, amp, dtype=np.int16),
+                                        rate), None))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "media_type", "content", "meta"])
+
+    media = d.repartition(32).mapInPandas(gen_media, MEDIA)
+    feats = media_features(media)
+    return feats.select(
+        F.regexp_extract("media_ref", r"(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        "sample_rate", "duration_ms", "mean_level",
+        F.col("decode_error").isNotNull().alias("decode_failed"))
+
+
 def q_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive-of-documents ingestion (r6 — loaders.zip_members): per
     doc one zip holding 1 + doc_id % 3 text members plus a directory
@@ -2208,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "zip_ingest": q_zip_ingest,
         "wds_ingest": q_wds_ingest,
+        "aiff_features": q_aiff_features,
         # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
@@ -3401,6 +3439,15 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     """,
         "media_features": media_oracle,
+        "aiff_features": """
+    SELECT doc_id,
+           CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+           CAST((100 + doc_id % 100) * 1000
+                // (8000 * (1 + doc_id % 3)) AS INTEGER) AS duration_ms,
+           CAST((doc_id * 13) % 32768 AS INTEGER) AS mean_level,
+           FALSE AS decode_failed
+    FROM documents
+    """,
         "wds_ingest": """
     WITH r AS (
       SELECT doc_id,

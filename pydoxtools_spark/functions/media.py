@@ -166,3 +166,86 @@ def read_text_bmp_pixels(pixels: np.ndarray) -> str:
     reds = pixels[0, :, 0].tobytes()
     end = reds.find(b"\x00")
     return reds[: end if end >= 0 else len(reds)].decode("utf-8", "replace")
+
+
+# ----------------------------------------------------------------- AIFF
+
+def _f80_encode(value: int) -> bytes:
+    """Integer sample rate -> 80-bit IEEE 754 extended float (the AIFF
+    COMM chunk's rate field — the one genuinely odd corner of the
+    format; everything else is plain big-endian chunks)."""
+    if value <= 0:
+        raise ValueError(f"sample rate must be positive, got {value}")
+    exp = value.bit_length() - 1
+    mant = value << (63 - exp)  # explicit leading 1 in bit 63
+    return struct.pack(">H", 16383 + exp) + mant.to_bytes(8, "big")
+
+
+def _f80_decode(data: bytes) -> int:
+    (se,) = struct.unpack(">H", data[:2])
+    if se & 0x8000:
+        raise MediaDecodeError("negative AIFF sample rate")
+    exp = (se & 0x7FFF) - 16383
+    mant = int.from_bytes(data[2:10], "big")
+    if mant == 0:
+        return 0
+    shift = 63 - exp
+    if not 0 <= shift <= 63:
+        raise MediaDecodeError(f"AIFF sample rate out of range (2^{exp})")
+    if mant & ((1 << shift) - 1):
+        raise MediaDecodeError("non-integer AIFF sample rate")
+    return mant >> shift
+
+
+def build_aiff(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """1-D int16 array -> canonical AIFF bytes (mono, 16-bit PCM,
+    big-endian — the WAV twin for the FORM/AIFF world)."""
+    pcm = np.asarray(samples, dtype=">i2").tobytes()
+    comm = struct.pack(">hLh", 1, len(pcm) // 2, 16) \
+        + _f80_encode(sample_rate)
+    ssnd = struct.pack(">LL", 0, 0) + pcm
+    body = (b"AIFF"
+            + b"COMM" + struct.pack(">L", len(comm)) + comm
+            + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">L", len(body)) + body
+
+
+def parse_aiff(data: bytes) -> tuple[int, np.ndarray]:
+    """AIFF bytes -> (sample_rate, int16 samples).  Mono/stereo 16-bit
+    PCM subset; AIFC compression types and other widths raise
+    MediaDecodeError (the PIL/ffmpeg plug point, same contract as
+    parse_wav)."""
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (
+            b"AIFF", b"AIFC"):
+        raise MediaDecodeError("not a FORM/AIFF payload")
+    pos, rate, pcm, n_ch = 12, None, None, 1
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack(">L", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"COMM":
+            if len(body) < 18:
+                raise MediaDecodeError("short AIFF COMM chunk")
+            n_ch, _frames, width = struct.unpack(">hLh", body[:8])
+            if width != 16 or n_ch not in (1, 2):
+                raise MediaDecodeError(
+                    f"unsupported AIFF shape ({width}-bit, {n_ch}ch)")
+            if len(body) >= 22 and body[18:22] not in (b"NONE", b"sowt"):
+                raise MediaDecodeError(
+                    f"AIFC compression {body[18:22]!r} unsupported")
+            rate = _f80_decode(body[8:18])
+        elif cid == b"SSND":
+            if len(body) < 8:
+                raise MediaDecodeError("short AIFF SSND chunk")
+            (off, _block) = struct.unpack(">LL", body[:8])
+            pcm = body[8 + off:]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise MediaDecodeError("AIFF missing COMM or SSND chunk")
+    samples = np.frombuffer(
+        pcm[: len(pcm) // 2 * 2], dtype=">i2").astype(np.int16)
+    if n_ch == 2:  # downmix the feature path like a mono reader would
+        samples = samples[: len(samples) // 2 * 2].reshape(-1, 2)
+        samples = ((samples[:, 0].astype(np.int32)
+                    + samples[:, 1]) // 2).astype(np.int16)
+    return rate, samples

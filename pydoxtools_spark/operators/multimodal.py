@@ -131,6 +131,18 @@ def decode_media(media_type: str, content: bytes) -> dict:
             "feature": hist,
             "mean_level": mean,
         }
+    if content[:4] == b"FORM" and content[8:12] in (b"AIFF", b"AIFC"):
+        # AIFF (r6 — the big-endian WAV twin, functions/media.py)
+        from ..functions.media import parse_aiff
+
+        rate, samples = parse_aiff(content)
+        hist, mean = amplitude_hist16(samples)
+        return {
+            "sample_rate": rate,
+            "duration_ms": int(len(samples) * 1000 // max(rate, 1)),
+            "feature": hist,
+            "mean_level": mean,
+        }
     raise MediaDecodeError(
         f"unsupported codec for media_type={media_type} "
         "(plug a real decoder into decode_media)")
