@@ -2203,9 +2203,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       window A (recorded in EVEN verdict rounds, r4/r6 = THIS round's
         first 50): the SURVEY S2-mapped extraction/text/events/
         curation operators, led by this round's must-record set —
-        `pdf_images` + `pack_sequences` (new; pdf_images carries the
-        r6 JPEG/CCITT decode rotation) and every query whose code
-        changed in r6
+        the new r6 queries (`pdf_images` with the JPEG/CCITT decode
+        rotation, `pack_sequences`, `tiff_features`, `gif_features`,
+        `warc_ingest`, `url_filter`, `zip_ingest`, `wds_ingest`,
+        `aiff_features`) and every query whose code changed in r6
         (pdfparse image XObjects + rotated text + real-AFM Helvetica
         widths; rtf \\pict; pipeline magic probes; multimodal numpy
         run-split; knn_graph zero-action routing; pdflayout template

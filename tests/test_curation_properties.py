@@ -356,3 +356,21 @@ def test_filter_url_blocklist_suffix_semantics(spark):
     plan = filter_url_blocklist(
         df, bl)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_plan_single_exchange(spark):
+    """Scale-shape invariant: packing is ONE hash exchange on shard +
+    one within-partition sort + Window — never a global sort."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pydoxtools_spark.operators.curation import pack_sequences
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("n_tokens"))
+    plan = pack_sequences(df, 64, shards=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert len(re.findall(r"Exchange", plan)) == 1
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+    assert len(re.findall(r"\bSort\b", plan)) == 1
