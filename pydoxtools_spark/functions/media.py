@@ -219,6 +219,7 @@ def parse_aiff(data: bytes) -> tuple[int, np.ndarray]:
             b"AIFF", b"AIFC"):
         raise MediaDecodeError("not a FORM/AIFF payload")
     pos, rate, pcm, n_ch = 12, None, None, 1
+    little = False  # AIFC 'sowt' = little-endian PCM (the Mac idiom)
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         (size,) = struct.unpack(">L", data[pos + 4:pos + 8])
@@ -230,9 +231,11 @@ def parse_aiff(data: bytes) -> tuple[int, np.ndarray]:
             if width != 16 or n_ch not in (1, 2):
                 raise MediaDecodeError(
                     f"unsupported AIFF shape ({width}-bit, {n_ch}ch)")
-            if len(body) >= 22 and body[18:22] not in (b"NONE", b"sowt"):
-                raise MediaDecodeError(
-                    f"AIFC compression {body[18:22]!r} unsupported")
+            if len(body) >= 22:
+                if body[18:22] not in (b"NONE", b"sowt"):
+                    raise MediaDecodeError(
+                        f"AIFC compression {body[18:22]!r} unsupported")
+                little = body[18:22] == b"sowt"
             rate = _f80_decode(body[8:18])
         elif cid == b"SSND":
             if len(body) < 8:
@@ -243,7 +246,8 @@ def parse_aiff(data: bytes) -> tuple[int, np.ndarray]:
     if rate is None or pcm is None:
         raise MediaDecodeError("AIFF missing COMM or SSND chunk")
     samples = np.frombuffer(
-        pcm[: len(pcm) // 2 * 2], dtype=">i2").astype(np.int16)
+        pcm[: len(pcm) // 2 * 2],
+        dtype="<i2" if little else ">i2").astype(np.int16)
     if n_ch == 2:  # downmix the feature path like a mono reader would
         samples = samples[: len(samples) // 2 * 2].reshape(-1, 2)
         samples = ((samples[:, 0].astype(np.int32)

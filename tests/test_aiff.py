@@ -69,3 +69,18 @@ def test_media_features_decodes_aiff(spark):
     assert out["a1"]["mean_level"] == 1234
     assert out["a1"]["duration_ms"] == 400 * 1000 // 16000
     assert out["a2"]["decode_error"] is not None
+
+
+def test_aifc_sowt_little_endian():
+    """AIFC 'sowt' marks LITTLE-endian PCM -- parsing it big-endian
+    would byte-swap every sample."""
+    s = np.array([1, -2, 300, -32768], dtype="<i2")
+    comm = (struct.pack(">hLh", 1, len(s), 16) + _f80_encode(8000)
+            + b"sowt" + b"\x05sowt\x00")  # compression id + pstring
+    ssnd = struct.pack(">LL", 0, 0) + s.tobytes()
+    body = (b"AIFC" + b"COMM" + struct.pack(">L", len(comm)) + comm
+            + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd)
+    data = b"FORM" + struct.pack(">L", len(body)) + body
+    rate, out = parse_aiff(data)
+    assert rate == 8000
+    np.testing.assert_array_equal(out, s.astype(np.int16))
