@@ -990,6 +990,49 @@ def q_aiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decode_error").isNotNull().alias("decode_failed"))
 
 
+def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed video frame sampling (r6 — functions/avi.py + the
+    now-REAL multimodal.frame_sample_plan path): per doc one AVI of
+    3 + doc_id % 4 uniform-gray DIB frames; avi_frame_features samples
+    every 2nd frame and decodes ONLY those.  The oracle restates the
+    sampled indexes and each frame's mean from the generators."""
+    from pydoxtools_spark.operators.multimodal import avi_frame_features
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pydoxtools_spark.functions.avi import build_avi
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n, w, h = 3 + i % 4, 4 + i % 3, 3 + i % 2
+                fr = np.zeros((n, h, w, 3), dtype=np.uint8)
+                for j in range(n):
+                    fr[j] = (i * 7 + j * 40) % 256
+                rows.append((f"media://avi/{i}", "video",
+                             build_avi(fr, fps=5),
+                             {"n_frames": str(n)}))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "media_type", "content", "meta"])
+
+    media = d.repartition(32).mapInPandas(
+        gen_media,
+        "media_ref string, media_type string, content binary, "
+        "meta map<string,string>")
+    out = avi_frame_features(media, every_n=2)
+    return out.select(
+        F.regexp_extract("media_ref", r"(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        "width", "height", "mean_level",
+        F.col("decode_error").isNotNull().alias("failed"))
+
+
 def q_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive-of-documents ingestion (r6 — loaders.zip_members): per
     doc one zip holding 1 + doc_id % 3 text members plus a directory
@@ -2247,6 +2290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_ingest": q_zip_ingest,
         "wds_ingest": q_wds_ingest,
         "aiff_features": q_aiff_features,
+        "avi_frames": q_avi_frames,
         # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
@@ -3440,6 +3484,20 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     """,
         "media_features": media_oracle,
+        "avi_frames": """
+    WITH r AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(2 + doc_id % 4 AS BIGINT), 2)) AS j
+      FROM documents
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+           CAST(4 + doc_id % 3 AS INTEGER) AS width,
+           CAST(3 + doc_id % 2 AS INTEGER) AS height,
+           CAST((doc_id * 7 + j * 40) % 256 AS INTEGER) AS mean_level,
+           FALSE AS failed
+    FROM r
+    """,
         "aiff_features": """
     SELECT doc_id,
            CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,

@@ -122,6 +122,22 @@ def decode_media(media_type: str, content: bytes) -> dict:
         w, h, px = parse_tiff(content)
         hist, mean = luminance_hist16(px)
         return {"width": w, "height": h, "feature": hist, "mean_level": mean}
+    if content[:4] == b"RIFF" and content[8:12] == b"AVI ":
+        # AVI video (r6 — functions/avi.py): typed metadata + frame-0
+        # luminance; per-frame decode is the distributed path
+        # (avi_frame_features below), not this doc-level kernel
+        from ..functions.avi import parse_avi_frame, parse_avi_meta
+
+        meta = parse_avi_meta(content)
+        px = parse_avi_frame(content, 0, meta)
+        hist, mean = luminance_hist16(px)
+        fps = meta["fps"] or 1
+        return {
+            "width": meta["width"], "height": meta["height"],
+            "sample_rate": meta["fps"],
+            "duration_ms": int(meta["n_frames"] * 1000 // fps),
+            "feature": hist, "mean_level": mean,
+        }
     if content[:4] == b"RIFF":
         rate, samples = parse_wav(content)
         hist, mean = amplitude_hist16(samples)
@@ -253,6 +269,53 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def avi_frame_features(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL distributed frame sampling (r6): frame_sample_plan picks
+    the indexes, then an Arrow-batched kernel decodes ONLY those
+    frames of each AVI blob (functions/avi.py random access — skipped
+    frames are never touched).  One row per sampled frame: (media_ref,
+    frame_idx, width, height, mean_level, decode_error).
+
+    Scale shape: the explode runs on (media_ref, n_frames) metadata,
+    then joins the binary column back, so the blob bytes travel to
+    exactly the tasks that decode them; a giant video's frames fan out
+    across tasks by repartitioning the plan before the join.  The
+    n_frames meta key is optional — absent, the kernel indexes the
+    container itself (frame 0 stays valid)."""
+    plan = frame_sample_plan(media, every_n)
+    joined = plan.join(media.select("media_ref", "content"), "media_ref")
+
+    def kernel(batches):
+        from ..functions.avi import parse_avi_frame, parse_avi_meta
+        from ..functions.media import luminance_hist16
+
+        cols = ["media_ref", "frame_idx", "width", "height",
+                "mean_level", "decode_error"]
+        metas: dict[str, dict] = {}
+        for pdf in batches:
+            rows = []
+            for ref, idx, content in zip(
+                pdf["media_ref"], pdf["frame_idx"], pdf["content"]
+            ):
+                try:
+                    raw = bytes(content)
+                    meta = metas.get(ref)
+                    if meta is None:
+                        meta = metas[ref] = parse_avi_meta(raw)
+                    px = parse_avi_frame(raw, int(idx), meta)
+                    _hist, mean = luminance_hist16(px)
+                    rows.append((ref, int(idx), px.shape[1],
+                                 px.shape[0], mean, None))
+                except Exception as e:  # containment per frame
+                    rows.append((ref, int(idx), None, None, None,
+                                 f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(
+        kernel, "media_ref string, frame_idx int, width int, "
+                "height int, mean_level int, decode_error string")
 
 
 PDF_META = StructType(
