@@ -1250,6 +1250,28 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet rollup (r6): the per-language table every
+    dataset release publishes — doc counts, token mass, quality
+    spread — as ONE hash aggregation over existing scalar twins
+    (lang_id / num_tokens / quality_score).  Mean quality travels as
+    an e4 integer SUM (sum of round(q*1e4)) so the cross-engine
+    compare is exact instead of IEEE-summation-order dependent."""
+    d = _docs(spark, sf_dir)
+    q = textstats.quality_score(F.col("text"))
+    per = d.select(
+        textstats.lang_id(F.col("text")).alias("lang"),
+        textstats.num_tokens(F.col("text")).alias("n_tokens"),
+        F.round(q * 10000, 0).cast("bigint").alias("q_e4"),
+        F.round(q, 4).alias("q4"))
+    return per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("q_e4").cast("bigint").alias("sum_quality_e4"),
+        F.min("q4").alias("min_quality"),
+        F.max("q4").alias("max_quality"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """11+4-language heuristic ID (r5: hi/ru/th/el script tier) with a
     confidence column so downstream quota/filter ops can separate
@@ -2291,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_ingest": q_wds_ingest,
         "aiff_features": q_aiff_features,
         "avi_frames": q_avi_frames,
+        "corpus_report": q_corpus_report,
         # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
@@ -2530,6 +2553,22 @@ def oracle_sql() -> dict[str, str]:
         + " AS lang_pred, " + textstats.lang_id_confidence_sql("text")
         + " AS lang_conf FROM documents"
     )
+    corpus_report_oracle = f"""
+    WITH per AS (
+      SELECT {textstats.lang_id_sql('text')} AS lang,
+             len(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+             {textstats.quality_score_sql('text')} AS q
+      FROM documents
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(round(q * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_quality_e4,
+           min(round(q, 4)) AS min_quality,
+           max(round(q, 4)) AS max_quality
+    FROM per GROUP BY lang
+    """
     ad_expr = (
         "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CASE WHEN "
         "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) + "
@@ -3602,6 +3641,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": lang_oracle,
         "file_meta": file_meta_oracle,
         "fingerprint": fp_oracle,
+        "corpus_report": corpus_report_oracle,
         "exact_dedup": exact_dedup_oracle,
         "line_dedup": line_dedup_oracle,
         "boilerplate_lines": boilerplate_oracle,
