@@ -1033,6 +1033,46 @@ def q_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decode_error").isNotNull().alias("failed"))
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup (r6 — functions/cdc.py gear hash +
+    dedup.cdc_chunk_table): per doc a binary blob of 3 + doc_id % 3
+    segments drawn from a shared 7-segment pool, each segment ending
+    in the 64-byte boundary-forcing marker (the gear window is 64
+    bytes, so the marker forces a split regardless of prefix) and
+    sized EXACTLY min_size, so no other position is even eligible —
+    the chunk layout is analytic and the oracle restates offsets,
+    sizes and chunk md5s from the pool formula.  Shared segments
+    across docs dedup to the same chunk_md5 by construction."""
+    from pydoxtools_spark.functions.cdc import find_boundary_marker
+    from pydoxtools_spark.operators.dedup import cdc_chunk_table
+
+    marker = find_boundary_marker(16)
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_blobs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                blob = b"".join(
+                    (b"segment-%d-" % ((i + j * 3) % 7)) * 40 + marker
+                    for j in range(3 + i % 3))
+                rows.append((str(i), blob))
+            yield pd.DataFrame(rows, columns=["ref", "content"])
+
+    blobs = d.repartition(32).mapInPandas(
+        gen_blobs, "ref string, content binary")
+    chunks = cdc_chunk_table(blobs, mask_bits=16, min_size=464,
+                             max_size=4096)
+    return chunks.select(
+        F.col("ref").cast("bigint").alias("doc_id"),
+        "chunk_idx",
+        F.col("offset").alias("chunk_offset"),
+        "size", "chunk_md5")
+
+
 def q_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive-of-documents ingestion (r6 — loaders.zip_members): per
     doc one zip holding 1 + doc_id % 3 text members plus a directory
@@ -2314,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aiff_features": q_aiff_features,
         "avi_frames": q_avi_frames,
         "corpus_report": q_corpus_report,
+        "cdc_chunks": q_cdc_chunks,
         # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
@@ -2553,6 +2594,24 @@ def oracle_sql() -> dict[str, str]:
         + " AS lang_pred, " + textstats.lang_id_confidence_sql("text")
         + " AS lang_conf FROM documents"
     )
+    from pydoxtools_spark.functions.cdc import find_boundary_marker
+
+    _cdc_marker = find_boundary_marker(16).decode()
+    cdc_oracle = f"""
+    WITH r AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(2 + doc_id % 3 AS BIGINT)))
+               AS j
+      FROM documents
+    )
+    SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx,
+           CAST(j * 464 AS BIGINT) AS chunk_offset,
+           CAST(464 AS BIGINT) AS size,
+           md5(repeat('segment-' || CAST((doc_id + j * 3) % 7
+                                         AS VARCHAR) || '-', 40)
+               || '{_cdc_marker}') AS chunk_md5
+    FROM r
+    """
     corpus_report_oracle = f"""
     WITH per AS (
       SELECT {textstats.lang_id_sql('text')} AS lang,
@@ -3642,6 +3701,7 @@ def oracle_sql() -> dict[str, str]:
         "file_meta": file_meta_oracle,
         "fingerprint": fp_oracle,
         "corpus_report": corpus_report_oracle,
+        "cdc_chunks": cdc_oracle,
         "exact_dedup": exact_dedup_oracle,
         "line_dedup": line_dedup_oracle,
         "boilerplate_lines": boilerplate_oracle,

@@ -768,3 +768,68 @@ def drop_duplicated_windows(
                 "words_cut"),
         )
     )
+
+
+# --------------------------------------- content-defined chunk dedup
+
+
+def cdc_chunk_table(blobs: DataFrame, ref_col: str = "ref",
+                    content_col: str = "content",
+                    mask_bits: int = 13, min_size: int = 2048,
+                    max_size: int = 65536) -> DataFrame:
+    """Storage-level dedup primitive for BINARY corpora (media blobs,
+    archives, model artifacts): split every blob at content-defined
+    boundaries — Gear rolling hash, functions/cdc.py, the LBFS/FastCDC
+    recipe — and emit one row per chunk: (ref, chunk_idx, offset,
+    size, chunk_md5).  A byte run shared between two blobs yields the
+    SAME chunks regardless of its offset (the hash window is 64 bytes,
+    so boundaries are content-local), which fixed-size blocking cannot
+    do; downstream a plain groupBy(chunk_md5) is the dedup/ref-count
+    table, the same hash-agg shape as exact_dedup.
+
+    Scale shape: chunking is an Arrow-batched mapInPandas over the
+    blob scan (vectorized 64-tap hash; chunks stay in their blob's
+    partition, no shuffle); only (ref, idx, offset, size, md5) rows —
+    never chunk BYTES — leave the kernel, so the dedup join moves
+    ~40 bytes per chunk no matter how large the chunks are."""
+    import pandas as pd
+
+    out_schema = ("ref string, chunk_idx int, offset long, "
+                  "size long, chunk_md5 string")
+
+    def kernel(batches):
+        import hashlib
+
+        from ..functions.cdc import chunk_boundaries
+
+        cols = ["ref", "chunk_idx", "offset", "size", "chunk_md5"]
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf[ref_col], pdf[content_col]):
+                raw = bytes(content) if content is not None else b""
+                last = 0
+                for i, end in enumerate(chunk_boundaries(
+                        raw, mask_bits, min_size, max_size)):
+                    rows.append((ref, i, last, end - last,
+                                 hashlib.md5(raw[last:end]).hexdigest()))
+                    last = end
+            yield pd.DataFrame(rows, columns=cols)
+
+    return blobs.select(ref_col, content_col).mapInPandas(
+        kernel, out_schema)
+
+
+def cdc_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Chunk table -> corpus-level storage-dedup numbers: unique vs
+    total chunks/bytes and the dedup ratio.  One hash-agg + one tiny
+    agg; the classic 'how much would a dedup store save' report."""
+    per = chunks.groupBy("chunk_md5").agg(
+        F.count("*").alias("copies"), F.first("size").alias("size"))
+    return per.agg(
+        F.count("*").cast("bigint").alias("unique_chunks"),
+        F.sum("copies").cast("bigint").alias("total_chunks"),
+        F.sum("size").cast("bigint").alias("unique_bytes"),
+        F.sum(F.col("copies") * F.col("size")).cast("bigint")
+        .alias("total_bytes"),
+        F.round(F.sum(F.col("copies") * F.col("size"))
+                / F.sum("size"), 4).alias("dedup_ratio"))
