@@ -53,6 +53,7 @@ HEADLINE = [
     "duplicated_windows",     # cross-doc substring dedup (r3)
     "unigram_logprob",        # CCNet-style LM quality score (r3)
     "pack_sequences",         # training-sequence packing (r6)
+    "corpus_report",          # per-language datasheet rollup (r6)
     "repetition_signals",     # Gopher repetition fractions (r3)
     "quality_filter",         # composite keep/drop + reason trail (r4)
     "ann_topk",
