@@ -1073,6 +1073,56 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "size", "chunk_md5")
 
 
+def q_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-metadata PII scrubbing (r6 — functions/exif.py +
+    multimodal.scrub_image_metadata): per doc a REAL JPEG (the
+    627/628-byte quantization-exact shell from pdf_images) tagged
+    with a 400-byte APP1 EXIF block — GPS coordinates on even docs.
+    The scrubber must drop the segment LOSSLESSLY: clean size returns
+    to the pinned shell formula and media_features still decodes the
+    exact uniform-gray mean, proving pixels survived the surgery."""
+    from pydoxtools_spark.operators.multimodal import (
+        media_features, scrub_image_metadata)
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def gen_media(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pydoxtools_spark.functions.exif import (
+            build_exif_app1, insert_app1)
+        from pydoxtools_spark.functions.jpeg import build_jpeg
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                g = 2 * (40 + i % 60)
+                base = build_jpeg(np.full((6, 8, 3), g, np.uint8))
+                app1 = build_exif_app1(
+                    make=f"cam-{i % 5}", model="fixture",
+                    datetime="2026:08:18 01:00:00",
+                    gps=((i % 90) + 0.5, -((i % 180) + 0.25))
+                    if i % 2 == 0 else None,
+                    pad_to=400)
+                rows.append((f"media://jpg/{i}",
+                             insert_app1(base, app1)))
+            yield pd.DataFrame(rows, columns=["media_ref", "content"])
+
+    media = d.repartition(32).mapInPandas(
+        gen_media, "media_ref string, content binary")
+    scrubbed = scrub_image_metadata(media)
+    feats = media_features(scrubbed.filter(F.col("error").isNull()).select(
+        "media_ref", F.lit("image").alias("media_type"), "content",
+        F.lit(None).cast("map<string,string>").alias("meta")))
+    return scrubbed.join(feats, "media_ref").select(
+        F.regexp_extract("media_ref", r"(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        "had_exif", "had_gps", "removed_bytes", "n_bytes_clean",
+        "mean_level")
+
+
 def q_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive-of-documents ingestion (r6 — loaders.zip_members): per
     doc one zip holding 1 + doc_id % 3 text members plus a directory
@@ -2355,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avi_frames": q_avi_frames,
         "corpus_report": q_corpus_report,
         "cdc_chunks": q_cdc_chunks,
+        "exif_scrub": q_exif_scrub,
         # ---- window A: due back this round (parked in r5) ----
         "entities": q_entities,
         "text_block_class": q_text_block_class,
@@ -3702,6 +3753,16 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": fp_oracle,
         "corpus_report": corpus_report_oracle,
         "cdc_chunks": cdc_oracle,
+        "exif_scrub": """
+    SELECT doc_id, TRUE AS had_exif,
+           doc_id % 2 = 0 AS had_gps,
+           CAST(400 AS BIGINT) AS removed_bytes,
+           -- the pinned quantization-exact JPEG shell formula
+           CAST(CASE WHEN doc_id % 60 BETWEEN 23 AND 25
+                     THEN 627 ELSE 628 END AS BIGINT) AS n_bytes_clean,
+           CAST(2 * (40 + doc_id % 60) AS INTEGER) AS mean_level
+    FROM documents
+    """,
         "exact_dedup": exact_dedup_oracle,
         "line_dedup": line_dedup_oracle,
         "boilerplate_lines": boilerplate_oracle,

@@ -114,20 +114,38 @@ def parse_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
         raise MediaDecodeError(f"corrupt TIFF structure: {ex}") from ex
 
 
-def _parse_ifd(data: bytes, e: str) -> tuple[int, int, np.ndarray]:
-    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+def read_ifd(data: bytes, e: str, ifd_off: int) -> dict:
+    """One TIFF IFD -> {tag: list[int] | bytes}.  BYTE/SHORT/LONG and
+    RATIONAL (type 5, as (num, den) pairs flattened) decode to int
+    lists, ASCII (type 2) to the raw bytes minus the NUL terminator.
+    Shared by the TIFF image reader and the EXIF parser (EXIF is this
+    exact structure inside a JPEG APP1 segment)."""
     (n_tags,) = struct.unpack_from(e + "H", data, ifd_off)
-    tags: dict[int, list[int]] = {}
+    tags: dict[int, list[int] | bytes] = {}
     for i in range(n_tags):
         off = ifd_off + 2 + 12 * i
         tag, typ, cnt = struct.unpack_from(e + "HHI", data, off)
+        if typ == 5:  # RATIONAL: cnt pairs of u32
+            vo = struct.unpack_from(e + "I", data, off + 8)[0]
+            tags[tag] = list(struct.unpack_from(e + "I" * (2 * cnt),
+                                                data, vo))
+            continue
         size = _TYPE_SIZE.get(typ)
-        if size is None or typ == 2:  # rationals/ASCII: not needed
+        if size is None:
             continue
         vo = off + 8 if size * cnt <= 4 else \
             struct.unpack_from(e + "I", data, off + 8)[0]
+        if typ == 2:
+            tags[tag] = bytes(data[vo:vo + cnt]).rstrip(b"\x00")
+            continue
         tags[tag] = list(struct.unpack_from(e + _TYPE_FMT[typ] * cnt,
                                             data, vo))
+    return tags
+
+
+def _parse_ifd(data: bytes, e: str) -> tuple[int, int, np.ndarray]:
+    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+    tags = read_ifd(data, e, ifd_off)
     if 322 in tags or 323 in tags:
         raise MediaDecodeError("tiled TIFF unsupported (strip subset)")
     if tags.get(284, [1])[0] != 1:

@@ -641,3 +641,46 @@ def ocr_glyph_decode(rasters: DataFrame) -> DataFrame:
     return rasters.select(
         "doc_id", "p_num", "content", "error"
     ).mapInPandas(kernel, OCR_GLYPH)
+
+
+def scrub_image_metadata(media: DataFrame) -> DataFrame:
+    """Image-side PII scrubbing (the metadata twin of
+    curation.scrub_pii): JPEG blobs lose their metadata segments
+    (EXIF/IPTC/comments — where GPS coordinates, device serials and
+    timestamps live) by lossless segment surgery
+    (functions/exif.strip_jpeg_metadata); pixels and decode tables are
+    untouched, so the cleaned blob decodes identically.  Emits what
+    was found BEFORE scrubbing (`had_gps`, `had_exif`) so corpora can
+    be audited or geo-filtered as they are cleaned.
+
+    Non-JPEG blobs pass through unchanged (removed_bytes 0); per-blob
+    failures are contained error rows.  Arrow-batched mapInPandas,
+    blobs stay in their scan partition."""
+
+    def kernel(batches):
+        from ..functions.exif import parse_exif, strip_jpeg_metadata
+
+        cols = ["media_ref", "content", "n_bytes_clean",
+                "removed_bytes", "had_exif", "had_gps", "error"]
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                raw = bytes(content) if content is not None else b""
+                if raw[:2] != b"\xff\xd8":
+                    rows.append((ref, raw, len(raw), 0, False, False,
+                                 None))
+                    continue
+                try:
+                    ex = parse_exif(raw)
+                    clean, removed = strip_jpeg_metadata(raw)
+                    rows.append((ref, clean, len(clean), removed,
+                                 bool(ex), "gps" in ex, None))
+                except Exception as e:  # containment per blob
+                    rows.append((ref, None, None, None, None, None,
+                                 f"{type(e).__name__}: {e}"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_ref", "content").mapInPandas(
+        kernel, "media_ref string, content binary, n_bytes_clean long, "
+                "removed_bytes long, had_exif boolean, "
+                "had_gps boolean, error string")
