@@ -198,8 +198,93 @@ def aes_encrypt_block(key: bytes, block: bytes) -> bytes:
     return _encrypt_block_fast(_round_keys_words(key), block)
 
 
+# ---- T-table fast path for DECRYPTION (FIPS-197 §5.3.5 equivalent
+# inverse cipher: middle-round keys pass through InvMixColumns, the
+# rounds then collapse to four table lookups per word — the same
+# ~10x-over-schoolbook win the encrypt side already has; the AESV2
+# stream decrypt in pdfparse was _mul/_xtime-bound, ~75% of the
+# encrypted-dialect parse kernel).  Tables derive from the same
+# generated S-box; round-trip + FIPS appendix-C vectors cover both
+# paths in tests/test_pdfparse_real.py.
+def _build_dtables():
+    d0, d1, d2, d3 = [], [], [], []
+    for x in range(256):
+        s = _ISBOX[x]
+        e = _mul(s, 14)
+        n = _mul(s, 9)
+        t = _mul(s, 13)
+        b = _mul(s, 11)
+        d0.append((e << 24) | (n << 16) | (t << 8) | b)
+        d1.append((b << 24) | (e << 16) | (n << 8) | t)
+        d2.append((t << 24) | (b << 16) | (e << 8) | n)
+        d3.append((n << 24) | (t << 16) | (b << 8) | e)
+    return d0, d1, d2, d3
+
+
+_D0, _D1, _D2, _D3 = _build_dtables()
+
+
+# InvMixColumns of a packed word as four byte-table lookups: the D
+# tables already encode ISBOX followed by the inverse-mix column, so
+# composing with SBOX cancels the substitution and leaves the pure
+# linear map (IMi[x] == Di[SBOX[x]]).
+_IM0 = [_D0[_SBOX[x]] for x in range(256)]
+_IM1 = [_D1[_SBOX[x]] for x in range(256)]
+_IM2 = [_D2[_SBOX[x]] for x in range(256)]
+_IM3 = [_D3[_SBOX[x]] for x in range(256)]
+
+
+def _imix_word(v: int) -> int:
+    return (_IM0[(v >> 24) & 0xFF] ^ _IM1[(v >> 16) & 0xFF]
+            ^ _IM2[(v >> 8) & 0xFF] ^ _IM3[v & 0xFF])
+
+
+def _inv_round_keys_words(key: bytes) -> list[int]:
+    rk = _round_keys_words(key)
+    nr = len(rk) // 4 - 1
+    # decryption round r reads the ENCRYPTION keys in reverse order;
+    # middle rounds additionally pass through InvMixColumns
+    out = list(rk[4 * nr:4 * nr + 4])
+    for r in range(nr - 1, 0, -1):
+        out.extend(_imix_word(w) for w in rk[4 * r:4 * r + 4])
+    out.extend(rk[0:4])
+    return out
+
+
+def _decrypt_block_fast(drk: list[int], block: bytes) -> bytes:
+    nr = len(drk) // 4 - 1
+    w0 = int.from_bytes(block[0:4], "big") ^ drk[0]
+    w1 = int.from_bytes(block[4:8], "big") ^ drk[1]
+    w2 = int.from_bytes(block[8:12], "big") ^ drk[2]
+    w3 = int.from_bytes(block[12:16], "big") ^ drk[3]
+    d0, d1, d2, d3 = _D0, _D1, _D2, _D3
+    for r in range(1, nr):
+        k = 4 * r
+        n0 = (d0[w0 >> 24] ^ d1[(w3 >> 16) & 0xFF]
+              ^ d2[(w2 >> 8) & 0xFF] ^ d3[w1 & 0xFF] ^ drk[k])
+        n1 = (d0[w1 >> 24] ^ d1[(w0 >> 16) & 0xFF]
+              ^ d2[(w3 >> 8) & 0xFF] ^ d3[w2 & 0xFF] ^ drk[k + 1])
+        n2 = (d0[w2 >> 24] ^ d1[(w1 >> 16) & 0xFF]
+              ^ d2[(w0 >> 8) & 0xFF] ^ d3[w3 & 0xFF] ^ drk[k + 2])
+        n3 = (d0[w3 >> 24] ^ d1[(w2 >> 16) & 0xFF]
+              ^ d2[(w1 >> 8) & 0xFF] ^ d3[w0 & 0xFF] ^ drk[k + 3])
+        w0, w1, w2, w3 = n0, n1, n2, n3
+    k = 4 * nr
+    s = _ISBOX
+    o0 = ((s[w0 >> 24] << 24) | (s[(w3 >> 16) & 0xFF] << 16)
+          | (s[(w2 >> 8) & 0xFF] << 8) | s[w1 & 0xFF]) ^ drk[k]
+    o1 = ((s[w1 >> 24] << 24) | (s[(w0 >> 16) & 0xFF] << 16)
+          | (s[(w3 >> 8) & 0xFF] << 8) | s[w2 & 0xFF]) ^ drk[k + 1]
+    o2 = ((s[w2 >> 24] << 24) | (s[(w1 >> 16) & 0xFF] << 16)
+          | (s[(w0 >> 8) & 0xFF] << 8) | s[w3 & 0xFF]) ^ drk[k + 2]
+    o3 = ((s[w3 >> 24] << 24) | (s[(w2 >> 16) & 0xFF] << 16)
+          | (s[(w1 >> 8) & 0xFF] << 8) | s[w0 & 0xFF]) ^ drk[k + 3]
+    return (o0.to_bytes(4, "big") + o1.to_bytes(4, "big")
+            + o2.to_bytes(4, "big") + o3.to_bytes(4, "big"))
+
+
 def aes_decrypt_block(key: bytes, block: bytes) -> bytes:
-    return _cipher(block, _expand_key(key), inverse=True)
+    return _decrypt_block_fast(_inv_round_keys_words(key), block)
 
 
 def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -219,12 +304,13 @@ def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 def cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     assert len(data) % 16 == 0
-    w = _expand_key(key)
+    drk = _inv_round_keys_words(key)
     out = bytearray()
-    prev = iv
+    prev = int.from_bytes(iv, "big")
     for i in range(0, len(data), 16):
         blk = data[i:i + 16]
-        out += bytes(a ^ b
-                     for a, b in zip(_cipher(blk, w, inverse=True), prev))
-        prev = blk
+        cur = int.from_bytes(blk, "big")
+        pt = int.from_bytes(_decrypt_block_fast(drk, blk), "big") ^ prev
+        out += pt.to_bytes(16, "big")
+        prev = cur
     return bytes(out)

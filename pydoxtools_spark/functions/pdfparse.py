@@ -637,11 +637,15 @@ _PAD = bytes([
 
 def _rc4(key: bytes, data: bytes) -> bytes:
     """RC4 stream cipher (public algorithm; PDF standard security
-    handler, ISO 32000 §7.6.2)."""
+    handler, ISO 32000 §7.6.2).  The key is pre-repeated to 256 bytes
+    so the KSA loop carries no modulo — the KSA dominates for the tiny
+    (16-48 byte) payloads the security handler feeds it (r7 profile:
+    the 20-pass /O //U derivations were KSA-bound)."""
     s = list(range(256))
     j = 0
+    k = (key * (256 // len(key) + 1))[:256]
     for i in range(256):
-        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        j = (j + s[i] + k[i]) & 0xFF
         s[i], s[j] = s[j], s[i]
     out = bytearray(len(data))
     i = j = 0

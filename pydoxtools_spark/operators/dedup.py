@@ -91,15 +91,27 @@ def char_shingle_rows(df: DataFrame, text_col: str = "text",
     barrier (CollapseProject cannot inline the child projection into
     the post-Generate projection) — measured ~40x faster than
     substringing inside a transform() lambda, where the norm expression
-    re-evaluates per element."""
+    re-evaluates per element.
+
+    The text is split into a per-codepoint array once per document and
+    each shingle is slice+array_join over it: substr(i, k) on a UTF8
+    string scans from the start to find codepoint i (O(position) per
+    shingle -> O(doc_len^2) per document), while array slice is O(k)
+    whatever the position (r7: 2.0 s -> 0.9 s on the 3M-shingle sf0.1
+    stage; the gap grows quadratically with document length).  Java's
+    empty-pattern split advances codepoint-wise, so astral-plane
+    characters stay intact and the emitted shingles are byte-identical
+    to the substr form (exceptAll-verified both ways, incl. surrogate
+    edge cases)."""
     t = df.select(
-        F.col(id_col).alias("id"), _norm(F.col(text_col)).alias("t")
+        F.col(id_col).alias("id"), F.split(_norm(F.col(text_col)), "").alias("a")
     )
-    n = F.greatest(F.length("t") - (k - 1), F.lit(1))
+    n = F.greatest(F.size("a") - (k - 1), F.lit(1))
     pos = t.select(
-        "id", "t", F.posexplode(F.sequence(F.lit(1), n)).alias("_p", "i")
+        "id", "a", F.posexplode(F.sequence(F.lit(1), n)).alias("_p", "i")
     )
-    return pos.select("id", F.col("t").substr(F.col("i"), F.lit(k)).alias("s"))
+    return pos.select(
+        "id", F.array_join(F.slice(F.col("a"), F.col("i"), k), "").alias("s"))
 
 
 def word_shingle_rows(df: DataFrame, text_col: str = "text",
@@ -398,12 +410,28 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_df: int = 1000,
+    storage_path: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index join.
     Shingles appearing in > max_df docs are dropped (stopword-shingle
     cap — bounds posting-list blowup at corpus scale).
-    Returns (id_a, id_b, jaccard)."""
+    Returns (id_a, id_b, jaccard).
+
+    The distinct (id, shingle-hash) table feeds FOUR consumers (doc
+    sizes, the DF cap, and both sides of the inverted-index self-join);
+    without materialization each consumer re-runs the Generate + md5 +
+    distinct subtree — plan-audited at 6 parquet scans / 4 shingle
+    subtrees under AQE (broadcast rewrites defeat ReuseExchange).  It
+    is therefore materialized once: to `storage_path` (parquet —
+    executor-loss safe, reusable, the cluster-scale form) when given,
+    else via eager localCheckpoint (the single-retryable-job form) —
+    the minhash_dedup_pairs signature-materialization pattern."""
     sh = word_shingle_rows(df, text_col, id_col, k)
+    if storage_path:
+        sh.write.mode("overwrite").parquet(storage_path)
+        sh = df.sparkSession.read.parquet(storage_path)
+    else:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     popular = sh.groupBy("sh").agg(F.count("*").alias("df_cnt")).filter(
         F.col("df_cnt") > max_df

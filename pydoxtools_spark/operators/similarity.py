@@ -193,12 +193,22 @@ def hash_embeddings(df: DataFrame, text_col: str = "text",
     closing the text -> embed -> ANN/near-dup chain without any model
     dependency."""
     sparse = hash_embeddings_sparse(df, text_col, id_col, dim)
+    # The L2 norm is computed IN the aggregation as sum(val^2) — val is
+    # a bigint, so the sum is exact integer arithmetic and
+    # sqrt(cast(n2)) is bit-identical to the old per-row
+    # aggregate(v, acc + x*x) fold (integer-valued doubles sum exactly
+    # below 2^53).  The old form captured that whole fold expression
+    # inside the normalize transform() lambda, where interpreted HOF
+    # evaluation re-ran it per ELEMENT (twice: condition + value) —
+    # ~2*dim^2 multiply-adds per row (CLAUDE.md trap #1); measured
+    # 7.9 s -> 1.7 s on the 12.5k-sentence textrank corpus at sf0.1.
     dense = (
         sparse.groupBy("doc_id")
         .agg(
             F.map_from_arrays(
                 F.collect_list("bucket"), F.collect_list("val")
-            ).alias("m")
+            ).alias("m"),
+            F.sum(F.col("val") * F.col("val")).alias("n2"),
         )
         .select(
             "doc_id",
@@ -206,13 +216,15 @@ def hash_embeddings(df: DataFrame, text_col: str = "text",
                 f"transform(sequence(0, {dim - 1}),"
                 " i -> cast(coalesce(element_at(m, i), 0) as double))"
             ).alias("v"),
+            F.sqrt(F.col("n2").cast("double")).alias("norm"),
         )
     )
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
     return dense.select(
         "doc_id",
         F.transform(
-            "v", lambda x: x / F.when(norm > 0, norm).otherwise(1.0)
+            "v",
+            lambda x: x / F.when(F.col("norm") > 0, F.col("norm"))
+            .otherwise(1.0),
         ).alias("embedding"),
     )
 

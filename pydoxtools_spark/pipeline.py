@@ -543,6 +543,17 @@ def extract(
     table_mode: "grid" (element tables, relational cell assignment) or
     "chars" (full-fidelity word-rebuild/sweep-line/spanning-cell path —
     requires type='Char' rows; see operators/pdf_relational.py)."""
+    # Statically-absent PDF input -> the pdf branch is skipped outright
+    # (r7).  With the old empty-DataFrame default the branch still built
+    # the FULL pdf_layout_items machinery over zero rows — its persist()
+    # calls wrap the empties in InMemoryRelations that
+    # PropagateEmptyRelation cannot see through, so every no-PDF
+    # extract() planned and ran ~60 empty operators, ~10 empty
+    # exchanges and an empty python router-kernel stage (plan-audited
+    # on q_docx_spans).  Output is identical: pdf_ref/pdf_bytes spans
+    # join against the item table, so with no elements they contribute
+    # zero rows either way (the sentinel still emits the doc).
+    has_pdf = pdf_elements is not None or pdf_blobs is not None
     if pdf_elements is None:
         from .schemas import PDF_ELEMENT
 
@@ -589,11 +600,12 @@ def extract(
         _text_branch(spans)
         .unionByName(_markdown_branch(spans))
         .unionByName(_html_branch(spans, parallelism))
-        .unionByName(_pdf_branch(ref_spans, pdf_elements, table_mode))
         .unionByName(_image_branch(ref_spans))
         .unionByName(_unknown_kind_branch(ref_spans))
         .unionByName(_sentinel_branch(documents_in))
     )
+    if has_pdf:
+        out = out.unionByName(_pdf_branch(ref_spans, pdf_elements, table_mode))
     if doc_blobs is not None:
         out = out.unionByName(_docx_branch(ref_spans, doc_blobs))
     if media_blobs is not None and ocr_model is not None:
