@@ -335,8 +335,14 @@ def q_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pages, compress=True, use_tj=True)))
             yield pd.DataFrame(rows, columns=["ref", "content"])
 
+    from pyspark import StorageLevel
+
+    # TWO python kernels consume the generated blobs (element parse +
+    # image-stream extraction); without a persist each consumer re-runs
+    # the generation kernel (r7)
     blobs = d.repartition(32).mapInPandas(
-        gen_blobs, "ref string, content binary")
+        gen_blobs, "ref string, content binary").persist(
+        StorageLevel.MEMORY_AND_DISK)
     els = parse_pdf_blobs(blobs).filter(F.col("type") == "Image").select(
         "media_ref", F.round("x0", 4).alias("x0"),
         F.round("y0", 4).alias("y0"), F.round("x1", 4).alias("x1"),
@@ -1845,7 +1851,13 @@ def q_textrank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # even-doc subset: the chain's cost is row volume x 6 checkpointed
     # pagerank rounds; half the docs keeps the full operator exercised
     # while the 65-query driver sweep stays inside its budget
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0).select(
+    # documents.parquet can be a single file: repartition BEFORE the
+    # sentence-wrap regex so it (and the downstream sentence explode)
+    # parallelizes instead of running in the scan's single task (same
+    # reason the pdf queries repartition before blob generation;
+    # r7 stage audit: 1.8 s single-task CPU here at sf0.1)
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 2 == 0).repartition(
+        32).select(
         "doc_id",
         F.regexp_replace(
             F.trim("text"), r"((\S+\s+){7}\S+)\s+", "$1. "

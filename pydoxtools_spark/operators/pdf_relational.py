@@ -132,6 +132,50 @@ def _page_router_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in ROUTED.fields])
 
 
+def _run_walk_by_doc_bucket(df: DataFrame, kernel, schema: StructType,
+                            n_shuffle: int) -> DataFrame:
+    """repartition(doc_id, page_bucket) + sortWithinPartitions +
+    mapInPandas walking contiguous (doc_id, page_bucket) runs with
+    cross-batch buffering — the multimodal rasterizer pattern
+    (CLAUDE.md trap 14): groupBy.applyInPandas costs ~18 ms of fixed
+    pandas overhead PER GROUP, which at one group per (doc, bucket)
+    measured 88 task-seconds on the 5000-doc sf0.1 chars corpus vs
+    ~8 for this form.  Group contents and keying are identical —
+    `kernel` receives exactly one (doc_id, page_bucket) group per
+    call, same as applyInPandas handed it."""
+    sorted_df = df.repartition(n_shuffle, "doc_id", "page_bucket") \
+        .sortWithinPartitions("doc_id", "page_bucket")
+
+    def runs(batches):
+        import numpy as np
+
+        buf = None
+        for pdf in batches:
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+                buf = None
+            if len(pdf) == 0:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            pb = pdf["page_bucket"].to_numpy()
+            cut = np.flatnonzero(
+                (ids[1:] != ids[:-1]) | (pb[1:] != pb[:-1])) + 1
+            starts = np.concatenate(([0], cut))
+            frames = []
+            for s, e in zip(starts[:-1], starts[1:]):
+                frames.append(kernel(pdf.iloc[s:e]))
+            buf = pdf.iloc[starts[-1]:]
+            frames = [f for f in frames if len(f)]
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+        if buf is not None and len(buf):
+            tail = kernel(buf)
+            if len(tail):
+                yield tail
+
+    return sorted_df.mapInPandas(runs, schema)
+
+
 def _grid_tables(areas, lines):
     """Ruled-grid table path (relational): candidate areas+borders come
     from the routed kernel; cell assignment, grid render and validity
@@ -313,13 +357,13 @@ def pdf_layout_items(pdf_elements: DataFrame,
     # COMPUTE-heavy but byte-light (tens of small rows per page), so
     # AQE's size-based coalescing would shrink it to a handful of
     # tasks (measured: 5 tasks / 12.6 s on a 5000-doc chars corpus vs
-    # full-width ~2 s).  Hash-partitioning on exactly the groupBy keys
-    # satisfies the aggregation's required distribution — no second
-    # exchange is added.
+    # full-width ~2 s).  Since r7 the kernel runs as a contiguous-run
+    # mapInPandas walk (see _run_walk_by_doc_bucket) instead of
+    # groupBy.applyInPandas — identical per-group inputs without the
+    # ~18 ms/group pandas fixed cost.
     n_shuffle = int(el.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    routed = gc.repartition(n_shuffle, "doc_id", "page_bucket").groupBy(
-        "doc_id", "page_bucket"
-    ).applyInPandas(_page_router_kernel, ROUTED).persist()
+    routed = _run_walk_by_doc_bucket(
+        gc, _page_router_kernel, ROUTED, n_shuffle).persist()
 
     tables_chars = routed.filter(F.col("kind") == "table").select(
         F.col("doc_id").alias("ref"),
@@ -505,8 +549,4 @@ def textonly_tables_from_elements(pdf_elements: DataFrame,
     )
     n_shuffle = int(
         el.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return (
-        el.repartition(n_shuffle, "doc_id", "page_bucket")
-        .groupBy("doc_id", "page_bucket")
-        .applyInPandas(_textonly_kernel, TEXTONLY)
-    )
+    return _run_walk_by_doc_bucket(el, _textonly_kernel, TEXTONLY, n_shuffle)

@@ -298,23 +298,32 @@ def knn_graph_lsh(
     in another), exact cosine is computed only within buckets, and the
     corpus is never broadcast or cross-joined.
 
-    Plan shape: per rotation one equi-join on the bucket string (shuffle
-    hash/SMJ, AQE splits skewed buckets), then a distinct on bare
-    (src, dst) ids — vectors are joined back AFTER the dedup so the
-    wide rows never flow through it.  Recall < 1 by design; identical
-    vectors always share every bucket (recall 1 for exact dups)."""
+    Plan shape: ALL rotations' buckets are computed in ONE projection
+    and posexploded to (id, rot, bucket) rows, so one equi-join on
+    (rot, bucket) replaces `rotations` separate bucket joins (shuffle
+    hash/SMJ, AQE splits skewed buckets) — the corpus is scanned once
+    and each vector's plane dots are evaluated once instead of once
+    per rotation per join side (2*rotations times), and the two join
+    sides share the exchange (identical subplans -> ReuseExchange).
+    The candidate set is identical: a pair joined under (rot, bucket)
+    for ANY rot is exactly a pair some rotation's bucket join would
+    emit (exceptAll-verified).  Then a distinct on bare (src, dst)
+    ids — vectors are joined back AFTER the dedup so the wide rows
+    never flow through it.  Recall < 1 by design; identical vectors
+    always share every bucket (recall 1 for exact dups)."""
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cand = None
-    for r in range(rotations):
-        planes = random_planes(dim, n_planes, seed + r)
-        b = c.select("id", lsh_bucket(F.col("v"), planes).alias("bucket"))
-        x, y = b.alias("x"), b.alias("y")
-        pairs = x.join(
-            y,
-            (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") != F.col("y.id")),
-        ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    bucket_arr = F.array(*[
+        lsh_bucket(F.col("v"), random_planes(dim, n_planes, seed + r))
+        for r in range(rotations)
+    ])
+    b = c.select("id", F.posexplode(bucket_arr).alias("rot", "bucket"))
+    x, y = b.alias("x"), b.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.rot") == F.col("y.rot"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.id") != F.col("y.id")),
+    ).select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
     cand = cand.dropDuplicates(["src", "dst"])
     sv = c.select(F.col("id").alias("src"), F.col("v").alias("sv"))
     dv = c.select(F.col("id").alias("dst"), F.col("v").alias("dv"))
@@ -399,22 +408,30 @@ def pagerank(
         nodes = nodes.select(
             F.col(graph_col).alias("g"), F.col("id")).distinct()
     counts = nodes.groupBy("g").agg(F.count("*").alias("n"))
-    nodes = nodes.join(counts, "g").persist()
-    # dangling set = nodes with no out-edges (networkx semantics:
-    # their mass is redistributed uniformly).  One cheap isEmpty probe
-    # on the persisted inputs decides whether the per-round dangling
-    # aggregation exists at all — similarity graphs built by
-    # doc_knn_edges have NO dangling nodes (every node emits k>=1
-    # edges), and dropping the two extra stages per round roughly
-    # halves the per-iteration fixed cost.
-    # derived from the PERSISTED ne, not out_w: out_w hangs off the raw
+    # dangling = nodes with no out-edges (networkx semantics: their
+    # mass is redistributed uniformly).  Since r7 the dangling set is a
+    # boolean column ON the node table instead of a separate DataFrame:
+    # the per-round dangling-mass aggregation becomes a filter over the
+    # (checkpointed) rank table rather than a semi-join against a
+    # second plan — one join fewer per iteration, same rows summed.
+    # Derived from the PERSISTED ne, not out_w: out_w hangs off the raw
     # edge plan, so probing it would re-run the caller's whole edge
     # chain (measured: the textrank_sentences knn chain re-ran here,
     # ~15 s of the 112 s sf0.1 wall); ne carries the same (g, src) set.
-    dangling = nodes.join(
-        ne.select("g", F.col("src").alias("id")), ["g", "id"], "left_anti"
-    ).select("g", "id")
-    has_dangling = not dangling.isEmpty()
+    src_set = ne.select("g", F.col("src").alias("id")).distinct() \
+        .withColumn("_out", F.lit(True))
+    nodes = (
+        nodes.join(counts, "g")
+        .join(src_set, ["g", "id"], "left")
+        .withColumn("dang", F.col("_out").isNull())
+        .drop("_out")
+        .persist()
+    )
+    # One cheap isEmpty probe on the persisted inputs decides whether
+    # the per-round dangling aggregation exists at all — graphs built
+    # by doc_knn_edges may have none, and dropping the extra stages per
+    # round roughly halves the per-iteration fixed cost.
+    has_dangling = not nodes.filter(F.col("dang")).isEmpty()
 
     # Lineage truncation cadence: with dangling, each round references
     # the previous ranks TWICE (plan doubles per round) -> truncate
@@ -422,7 +439,8 @@ def pagerank(
     # every 3rd round suffices, cutting checkpoint jobs ~3x.
     ckpt_every = 1 if has_dangling else 3
 
-    ranks = nodes.select("g", "id", "n", (1.0 / F.col("n")).alias("r"))
+    ranks = nodes.select(
+        "g", "id", "n", "dang", (1.0 / F.col("n")).alias("r"))
     for i in range(iters):
         if i % ckpt_every == 0:
             ranks = _ckpt(ranks)
@@ -435,7 +453,7 @@ def pagerank(
         new_ranks = nodes.join(contrib, ["g", "id"], "left")
         if has_dangling:
             dmass = (
-                ranks.join(dangling, ["g", "id"], "left_semi")
+                ranks.filter(F.col("dang"))
                 .groupBy("g")
                 .agg(F.sum("r").alias("dm"))
             )
@@ -444,7 +462,7 @@ def pagerank(
         else:
             dm = F.lit(0.0)
         ranks = new_ranks.select(
-            "g", "id", "n",
+            "g", "id", "n", "dang",
             (
                 (1.0 - damping) / F.col("n")
                 + damping * (F.coalesce(F.col("c"), F.lit(0.0)) + dm)
@@ -560,6 +578,7 @@ def textrank_sentences(
     text_col: str = "text",
     id_col: str = "doc_id",
     dim: int = 64,
+    min_parallelism: int | None = None,
 ) -> DataFrame:
     """Extractive summary: the top_k most CENTRAL sentences per doc by
     textrank over a sentence-similarity graph, returned in original
@@ -581,8 +600,19 @@ def textrank_sentences(
         F.posexplode(
             F.split(F.trim(F.col(text_col)), r"(?<=[.!?])\s+")
         ).alias("sent_idx", "sentence"),
-    ).filter(F.length(F.trim("sentence")) > 0).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    ).filter(F.length(F.trim("sentence")) > 0)
+    # The sentence split + explode runs BEFORE the first exchange, so
+    # its parallelism is the input scan's — a single-file doc table
+    # materializes the persist in ONE task (r7 stage audit: 1.8 s
+    # single-task CPU at sf0.1).  `min_parallelism` opts into a
+    # repartition of the narrow sentence rows; it stays None by default
+    # because an already-wide corpus (the 100 TB case) must not pay a
+    # pointless extra shuffle, and probing the input's partition count
+    # here would need an .rdd access that can eagerly materialize
+    # upstream AQE stages (the package keeps construction action-free).
+    if min_parallelism:
+        sents = sents.repartition(min_parallelism)
+    sents = sents.persist(StorageLevel.MEMORY_AND_DISK)
     # unique token id per (doc, sentence) for the embedding helper
     emb = hash_embeddings(
         sents.select(
@@ -635,23 +665,28 @@ def embedding_neardup_pairs(
     rotations > 1 is the recall amplifier for thresholds below ~0.99:
     a near-dup pair at cosine c collides in one b-bit table with prob
     (1 - acos(c)/pi)^b; with R independent plane sets the miss prob
-    compounds to (1 - p)^R.  Candidates are deduped on bare (id, id)
-    pairs BEFORE the exact-cosine verify, so each extra rotation adds
-    one bucket self-join, never re-verification.  Default rotations=3:
+    compounds to (1 - p)^R.  All rotations' buckets are computed in
+    one projection and posexploded to (id, rot, bucket) rows — one
+    (rot, bucket) self-join replaces R bucket joins, the corpus is
+    scanned once, and the join sides share their exchange (see
+    knn_graph_lsh).  Candidates are deduped on bare (id, id) pairs
+    BEFORE the exact-cosine verify, so each extra rotation adds only
+    candidate rows, never re-verification.  Default rotations=3:
     measured recall at threshold 0.95 on the 96k-vector bench corpus
     is ~0.76 with one table vs >=0.9 with three (bench.ann_recall)."""
     c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cand = None
-    for r in range(rotations):
-        planes = random_planes(dim, n_planes, seed + r)
-        b = c.select("id", lsh_bucket(F.col("v"), planes).alias("bucket"))
-        x, y = b.alias("x"), b.alias("y")
-        pairs = x.join(
-            y,
-            (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        ).select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    bucket_arr = F.array(*[
+        lsh_bucket(F.col("v"), random_planes(dim, n_planes, seed + r))
+        for r in range(rotations)
+    ])
+    b = c.select("id", F.posexplode(bucket_arr).alias("rot", "bucket"))
+    x, y = b.alias("x"), b.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.rot") == F.col("y.rot"))
+        & (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.id") < F.col("y.id")),
+    ).select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
     if rotations > 1:
         cand = cand.dropDuplicates(["id_a", "id_b"])
     va = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"))

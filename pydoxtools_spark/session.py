@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # Fork-time preload: the daemon imports numpy/pandas/pyarrow +
+        # the parser modules once, every forked worker inherits them
+        # copy-on-write instead of re-importing (~1 s/worker; measured
+        # ~1 s off a cold blob_routing at sf0.1 and it compounds when
+        # concurrent AQE stages fork extra workers).  The module falls
+        # back to stock pyspark.daemon behavior if any import fails.
+        .config("spark.python.daemon.module",
+                "pydoxtools_spark.daemon_preload")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
