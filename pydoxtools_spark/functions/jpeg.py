@@ -175,6 +175,11 @@ class _BitReader:
         self.pos = 0          # byte position
         self.acc = 0
         self.n = 0
+        self.real_bits = len(data) * 8  # bits backed by actual data
+
+    def bit_pos(self) -> int:
+        """Bits consumed so far (synthetic zero padding included)."""
+        return self.pos * 8 - self.n
 
     def _fill(self, need: int) -> None:
         while self.n < need:
@@ -471,6 +476,10 @@ def _decode_scan(data, pos, sof, scan, qtabs, htabs, restart_interval):
         raw.append(b)
         p += 1
 
+    if resets and not restart_interval:
+        # RST markers are only legal under a declared DRI; stripping
+        # them without predictor resets would decode garbage silently
+        raise MediaDecodeError("RST markers without a DRI segment")
     br = _BitReader(bytes(raw))
     scan_by_id = {cs: (td, ta) for cs, td, ta in scan}
     planes = []
@@ -487,6 +496,14 @@ def _decode_scan(data, pos, sof, scan, qtabs, htabs, restart_interval):
                 # byte-align + reset predictors at restart boundaries
                 if br.n % 8:
                     br.skip(br.n % 8)
+                # the recorded RST positions must corroborate the DRI
+                # arithmetic: a marker somewhere else means the DRI
+                # segment is inconsistent with the stream and pure
+                # mcu-count resync would decode garbage (r6 advisor
+                # finding — `resets` was collected but never used)
+                if resets and (br.pos - br.n // 8) not in resets:
+                    raise MediaDecodeError(
+                        "restart marker misaligned with DRI interval")
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 td, ta = scan_by_id.get(c["id"], (0, 0))
@@ -499,6 +516,17 @@ def _decode_scan(data, pos, sof, scan, qtabs, htabs, restart_interval):
                     raise MediaDecodeError("missing quant table")
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
+                        # a DC code STARTING at/after end-of-data would
+                        # be decoded entirely from the reader's
+                        # synthetic zero padding — the all-zeros bit
+                        # pattern is a valid Annex-K code, so a
+                        # truncated stream would otherwise fabricate
+                        # plausible zero-diff blocks silently (r6
+                        # advisor finding).  A code merely STRADDLING
+                        # the boundary is the legitimate final code.
+                        if br.bit_pos() >= br.real_bits:
+                            raise MediaDecodeError(
+                                "truncated entropy stream")
                         zz = np.zeros(64, dtype=np.int64)
                         e = int(dlut[br.peek16()])
                         size, ln = e >> 5, e & 31

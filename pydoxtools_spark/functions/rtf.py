@@ -207,7 +207,13 @@ def extract_rtf_spans(
                     finalize_pict()  # the pict group just closed
             continue
         if skipping:
-            if pict_buf is not None and text is not None:
+            # capture hex ONLY at the pict group's own depth: real Word
+            # RTF nests destinations like {\*\blipuid <hex>} inside
+            # \pict, and their hex is valid hex — appending it would
+            # silently prepend garbage bytes to the decoded payload
+            # (r6 advisor finding)
+            if (pict_buf is not None and text is not None
+                    and len(stack) == pict_depth):
                 pict_buf.append(text)  # hex payload run
             continue
         if hexesc is not None:

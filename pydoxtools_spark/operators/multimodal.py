@@ -271,47 +271,86 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
-def avi_frame_features(media: DataFrame, every_n: int = 30) -> DataFrame:
+def avi_frame_features(media: DataFrame, every_n: int = 30,
+                       fanout_frames: bool = False) -> DataFrame:
     """REAL distributed frame sampling (r6): frame_sample_plan picks
     the indexes, then an Arrow-batched kernel decodes ONLY those
     frames of each AVI blob (functions/avi.py random access — skipped
     frames are never touched).  One row per sampled frame: (media_ref,
     frame_idx, width, height, mean_level, decode_error).
 
-    Scale shape: the explode runs on (media_ref, n_frames) metadata,
-    then joins the binary column back, so the blob bytes travel to
-    exactly the tasks that decode them; a giant video's frames fan out
-    across tasks by repartitioning the plan before the join.  The
-    n_frames meta key is optional — absent, the kernel indexes the
+    Default (grouped-indexes, r7): sampled indexes are aggregated to
+    ONE array row per media_ref before the content join, so each blob's
+    bytes travel and deserialize ONCE and the kernel decodes all its
+    sampled frames from that single copy — the per-frame join form
+    shipped the full blob with EVERY sampled-frame row (a 1 GB video
+    sampled at 100 frames moved 100 GB through the join; r6 verdict
+    plan nit).  `fanout_frames=True` keeps the per-frame fan-out as the
+    opt-in for giant videos whose single-blob decode would straggle a
+    task.  Output rows are identical either way (same per-frame
+    decode, same per-frame error containment).
+
+    The n_frames meta key is optional — absent, the kernel indexes the
     container itself (frame 0 stays valid)."""
     plan = frame_sample_plan(media, every_n)
-    joined = plan.join(media.select("media_ref", "content"), "media_ref")
+    if fanout_frames:
+        joined = plan.join(media.select("media_ref", "content"), "media_ref")
 
-    def kernel(batches):
-        from ..functions.avi import parse_avi_frame, parse_avi_meta
-        from ..functions.media import luminance_hist16
+        def kernel(batches):
+            from ..functions.avi import parse_avi_frame, parse_avi_meta
+            from ..functions.media import luminance_hist16
 
-        cols = ["media_ref", "frame_idx", "width", "height",
-                "mean_level", "decode_error"]
-        metas: dict[str, dict] = {}
-        for pdf in batches:
-            rows = []
-            for ref, idx, content in zip(
-                pdf["media_ref"], pdf["frame_idx"], pdf["content"]
-            ):
-                try:
+            cols = ["media_ref", "frame_idx", "width", "height",
+                    "mean_level", "decode_error"]
+            metas: dict[str, dict] = {}
+            for pdf in batches:
+                rows = []
+                for ref, idx, content in zip(
+                    pdf["media_ref"], pdf["frame_idx"], pdf["content"]
+                ):
+                    try:
+                        raw = bytes(content)
+                        meta = metas.get(ref)
+                        if meta is None:
+                            meta = metas[ref] = parse_avi_meta(raw)
+                        px = parse_avi_frame(raw, int(idx), meta)
+                        _hist, mean = luminance_hist16(px)
+                        rows.append((ref, int(idx), px.shape[1],
+                                     px.shape[0], mean, None))
+                    except Exception as e:  # containment per frame
+                        rows.append((ref, int(idx), None, None, None,
+                                     f"{type(e).__name__}: {e}"))
+                yield pd.DataFrame(rows, columns=cols)
+    else:
+        idxs = plan.groupBy("media_ref").agg(
+            F.sort_array(F.collect_list("frame_idx")).alias("frame_idxs"))
+        joined = idxs.join(media.select("media_ref", "content"), "media_ref")
+
+        def kernel(batches):
+            from ..functions.avi import parse_avi_frame, parse_avi_meta
+            from ..functions.media import luminance_hist16
+
+            cols = ["media_ref", "frame_idx", "width", "height",
+                    "mean_level", "decode_error"]
+            for pdf in batches:
+                rows = []
+                for ref, fidxs, content in zip(
+                    pdf["media_ref"], pdf["frame_idxs"], pdf["content"]
+                ):
                     raw = bytes(content)
-                    meta = metas.get(ref)
-                    if meta is None:
-                        meta = metas[ref] = parse_avi_meta(raw)
-                    px = parse_avi_frame(raw, int(idx), meta)
-                    _hist, mean = luminance_hist16(px)
-                    rows.append((ref, int(idx), px.shape[1],
-                                 px.shape[0], mean, None))
-                except Exception as e:  # containment per frame
-                    rows.append((ref, int(idx), None, None, None,
-                                 f"{type(e).__name__}: {e}"))
-            yield pd.DataFrame(rows, columns=cols)
+                    meta = None
+                    for idx in fidxs:
+                        try:
+                            if meta is None:
+                                meta = parse_avi_meta(raw)
+                            px = parse_avi_frame(raw, int(idx), meta)
+                            _hist, mean = luminance_hist16(px)
+                            rows.append((ref, int(idx), px.shape[1],
+                                         px.shape[0], mean, None))
+                        except Exception as e:  # containment per frame
+                            rows.append((ref, int(idx), None, None, None,
+                                         f"{type(e).__name__}: {e}"))
+                yield pd.DataFrame(rows, columns=cols)
 
     return joined.mapInPandas(
         kernel, "media_ref string, frame_idx int, width int, "
@@ -671,10 +710,19 @@ def scrub_image_metadata(media: DataFrame) -> DataFrame:
                                  None))
                     continue
                 try:
-                    ex = parse_exif(raw)
+                    # the audit parse gets its OWN try: a corrupt EXIF
+                    # TIFF IFD inside intact segment framing must not
+                    # fail the scrub closed and drop the image — the
+                    # segment surgery alone still succeeds, with the
+                    # audit columns unknown (r6 advisor finding)
+                    try:
+                        ex = parse_exif(raw)
+                        had_exif, had_gps = bool(ex), "gps" in ex
+                    except Exception:
+                        had_exif = had_gps = None
                     clean, removed = strip_jpeg_metadata(raw)
                     rows.append((ref, clean, len(clean), removed,
-                                 bool(ex), "gps" in ex, None))
+                                 had_exif, had_gps, None))
                 except Exception as e:  # containment per blob
                     rows.append((ref, None, None, None, None, None,
                                  f"{type(e).__name__}: {e}"))

@@ -101,28 +101,43 @@ def _page_router_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     One kernel pass, same group count as a graphics-only kernel — the
     routing adds NO joins or extra shuffles; Char rows add shuffle
     volume only on corpora that carry them."""
+    import numpy as np
+
     from ..functions.pdflayout import detect_table_areas
     from ..functions.spantext import table_to_text
     from ..functions.tablecells import extract_page_tables_full
 
+    # Columns are pulled to numpy ONCE and pages/types selected with
+    # boolean masks: the pandas groupby + per-page frame slicing this
+    # replaces was ~2/3 of the kernel (r7 cProfile: 6.2 -> ~2 ms/doc;
+    # pandas Index/take machinery, not table math).  Iteration order
+    # (np.unique = ascending p_num, mask selection = original row
+    # order) and the arrays handed to the table kernels are identical.
     rows = []
     doc_id = pdf["doc_id"].iloc[0]
-    for p, page in pdf.groupby("p_num"):
-        g = page[page["type"] == "Graphic"]
-        if g.empty:
+    p_arr = pdf["p_num"].to_numpy()
+    typ = pdf["type"].to_numpy()
+    coords = np.column_stack([pdf[c].to_numpy(float)
+                              for c in ("x0", "y0", "x1", "y1")])
+    raw = pdf["rawtext"].to_numpy(object)
+    is_g = typ == "Graphic"
+    is_ch = typ == "Char"
+    for p in np.unique(p_arr):
+        on_page = p_arr == p
+        g = on_page & is_g
+        if not g.any():
             continue
-        ch = page[page["type"] == "Char"]
-        if len(ch):
+        ch = on_page & is_ch
+        if ch.any():
             full = extract_page_tables_full(
-                g[["x0", "y0", "x1", "y1"]].to_numpy(float),
-                ch[["x0", "y0", "x1", "y1"]].to_numpy(float),
-                ch["rawtext"].tolist(),
+                coords[g], coords[ch],
+                [raw[i] for i in np.flatnonzero(ch)],
             )
             for aid, ((bx0, by0, bx1, by1), grid) in enumerate(full):
                 rows.append((doc_id, int(p), "table", aid, bx0, by0, bx1, by1,
                              None, None, table_to_text(grid)))
         else:
-            areas = detect_table_areas(g[["x0", "y0", "x1", "y1"]].to_numpy(float))
+            areas = detect_table_areas(coords[g])
             for aid, (ax0, ay0, ax1, ay1, row_b, col_b) in enumerate(areas):
                 rows.append(
                     (doc_id, int(p), "area", aid, ax0, ay0, ax1, ay1,

@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # Per-op call-site capture (DataFrame debugging) costs 3 extra
+        # py4j round-trips + a python stack walk on EVERY DataFrame/
+        # Column API call; the big builder functions make thousands
+        # (query CONSTRUCTION measured 1.7 s for the pdf queries,
+        # ~30-45% of it this wrapper).  Disable it: the trade is
+        # call-site lines in analyzer error messages, not semantics.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Fork-time preload: the daemon imports numpy/pandas/pyarrow +
         # the parser modules once, every forked worker inherits them
         # copy-on-write instead of re-importing (~1 s/worker; measured

@@ -99,3 +99,27 @@ def test_avi_frame_features_distributed_sampling(spark):
         assert r["decode_error"] is None
     assert all(got[k]["decode_error"] is not None
                for k in got if k[0] == "bad")
+
+
+def test_avi_frame_features_grouped_matches_fanout(spark):
+    """r7 grouped-indexes mode: identical rows to the per-frame fan-out
+    form, and the plan aggregates sampled indexes per media_ref BEFORE
+    the content join (one blob copy decodes all its sampled frames)."""
+    from pydoxtools_spark.operators.multimodal import avi_frame_features
+
+    fr = _frames(9, 3, 4)
+    data = build_avi(fr, fps=5)
+    media = spark.createDataFrame(
+        [("v1", "video", bytearray(data), {"n_frames": "9"}),
+         ("bad", "video", bytearray(b"RIFF\x04\x00\x00\x00AVI "),
+          {"n_frames": "3"})],
+        "media_ref string, media_type string, content binary, "
+        "meta map<string,string>")
+    grouped = avi_frame_features(media, every_n=3)
+    fanout = avi_frame_features(media, every_n=3, fanout_frames=True)
+    assert sorted(map(tuple, grouped.collect())) == \
+        sorted(map(tuple, fanout.collect()))
+    # plan assert: the common case ships ONE content copy per blob —
+    # the sampled indexes are collected per media_ref below the join
+    plan = grouped._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" in plan and "frame_idx" in plan

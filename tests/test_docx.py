@@ -576,3 +576,14 @@ def test_odt_embedded_media_extraction():
     assert [t for t, _b in media] == ["Pictures/img1.bmp"]
     w, h, back = parse_bmp(media[0][1])
     assert (w, h) == (7, 5) and (back == px).all()
+
+
+def test_rtf_pict_nested_destination_hex_not_captured():
+    """r6 advisor finding: {\\*\\blipuid <hex>} nested inside \\pict is
+    valid hex — it must NOT prepend to the decoded payload (capture
+    happens only at the pict group's own depth)."""
+    from pydoxtools_spark.functions.rtf import extract_rtf_media
+
+    rtf = (rb"{\rtf1 {\pict{\*\blipuid 00112233445566778899aabbccddeeff}"
+           rb"\pngblip\picw4\pich3 DEADBEEF}\par}")
+    assert extract_rtf_media(rtf) == [("pict1", b"\xde\xad\xbe\xef")]

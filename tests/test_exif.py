@@ -79,3 +79,26 @@ def test_scrub_image_metadata_operator(spark):
     assert out["p1"]["removed_bytes"] == 0    # non-JPEG passthrough
     assert bytes(out["p1"]["content"]).startswith(b"\x89PNG")
     assert out["x1"]["error"] is not None     # contained
+
+
+def test_scrub_survives_corrupt_exif_ifd(spark):
+    """r6 advisor finding: a JPEG whose APP1 framing is intact but
+    whose TIFF IFD is garbage must still be scrubbed (segment surgery
+    does not need the IFD); the audit columns go unknown instead of
+    the whole blob failing closed."""
+    import numpy as np
+
+    from pydoxtools_spark.functions.jpeg import build_jpeg
+    from pydoxtools_spark.operators.multimodal import scrub_image_metadata
+
+    base = build_jpeg(np.full((4, 6, 3), 90, np.uint8))
+    # APP1 with valid Exif header but a truncated/corrupt TIFF body
+    body = b"Exif\x00\x00II*\x00\x08\x00\x00\x00\xff\xff"
+    app1 = b"\xff\xe1" + (len(body) + 2).to_bytes(2, "big") + body
+    blob = base[:2] + app1 + base[2:]
+    media = spark.createDataFrame(
+        [("j1", bytearray(blob))], "media_ref string, content binary")
+    r = scrub_image_metadata(media).collect()[0]
+    assert r["error"] is None
+    assert r["content"] is not None and r["removed_bytes"] > 0
+    assert r["had_exif"] is None and r["had_gps"] is None

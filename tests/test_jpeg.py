@@ -116,3 +116,28 @@ def test_media_features_decodes_jpeg_blobs(spark):
     assert (ok["width"], ok["height"]) == (9, 6)
     assert ok["mean_level"] == 120 and ok["decode_error"] is None
     assert out["m2"]["decode_error"] is not None
+
+
+def test_truncated_entropy_stream_raises():
+    """r6 advisor finding: the bit reader's zero padding decodes as
+    valid Annex-K codes, so a truncated stream used to fabricate
+    zero-diff blocks silently; it must raise instead."""
+    import numpy as np
+    import pytest
+
+    from pydoxtools_spark.functions.jpeg import (
+        MediaDecodeError,
+        build_jpeg,
+        parse_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    data = build_jpeg(px)
+    # cut well inside the entropy segment, keep the EOI so the framing
+    # scanner still terminates normally
+    cut = data[: len(data) - len(data) // 3] + b"\xff\xd9"
+    with pytest.raises(MediaDecodeError):
+        parse_jpeg(cut)
+    # sanity: the untouched stream still decodes
+    parse_jpeg(data)
