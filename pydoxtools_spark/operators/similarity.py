@@ -385,6 +385,19 @@ def pagerank(
         return df.checkpoint(eager=True) if checkpoint_dir else (
             df.localCheckpoint(eager=True))
 
+    def _pin(df: DataFrame) -> DataFrame:
+        """Round-shared tables (ne / nodes) are referenced by EVERY
+        pagerank round.  Single-job mode pins them with a LAZY
+        localCheckpoint rather than persist(): both cache the rows, but
+        the checkpoint also truncates the lineage, so each round's plan
+        carries (and Catalyst re-analyzes, and explain re-prints) an
+        RDD leaf instead of the whole upstream subtree — measured
+        ~1.5-2 s off a cold sf0.1 textrank_summary.  Reliable mode
+        keeps persist(): lineage must stay recomputable for
+        executor-loss recovery there."""
+        return df.persist() if checkpoint_dir else (
+            df.localCheckpoint(eager=False))
+
     e = edges.select(
         F.col(graph_col).alias("g"),
         F.col(src_col).alias("src"),
@@ -392,9 +405,9 @@ def pagerank(
         F.col(weight_col).cast("double").alias("w"),
     )
     out_w = e.groupBy("g", "src").agg(F.sum("w").alias("ow"))
-    ne = e.join(out_w, ["g", "src"]).select(
+    ne = _pin(e.join(out_w, ["g", "src"]).select(
         "g", "src", "dst", (F.col("w") / F.col("ow")).alias("p")
-    ).persist()
+    ))
     if nodes is None:
         # node set from the edges; pass `nodes` (graph_col, id) to also
         # rank isolated vertices (the reference adds every token to the
@@ -420,12 +433,11 @@ def pagerank(
     # ~15 s of the 112 s sf0.1 wall); ne carries the same (g, src) set.
     src_set = ne.select("g", F.col("src").alias("id")).distinct() \
         .withColumn("_out", F.lit(True))
-    nodes = (
+    nodes = _pin(
         nodes.join(counts, "g")
         .join(src_set, ["g", "id"], "left")
         .withColumn("dang", F.col("_out").isNull())
         .drop("_out")
-        .persist()
     )
     # One cheap isEmpty probe on the persisted inputs decides whether
     # the per-round dangling aggregation exists at all — graphs built

@@ -557,7 +557,11 @@ def extract(
     if pdf_elements is None:
         from .schemas import PDF_ELEMENT
 
-        pdf_elements = spark.createDataFrame([], schema=PDF_ELEMENT)
+        # one explicit empty partition: the default empty DataFrame
+        # carries defaultParallelism (32) empty partitions that union
+        # into the parse stage as pure task overhead (r7)
+        pdf_elements = spark.createDataFrame(
+            spark.sparkContext.parallelize([], 1), schema=PDF_ELEMENT)
     if pdf_blobs is not None:
         pdf_elements = pdf_elements.unionByName(
             parse_pdf_blobs(pdf_blobs, emit_chars=(table_mode == "chars")))
