@@ -87,7 +87,9 @@ def main():
                       "exec_sec": round(t3 - t2, 3),
                       "total_sec": round(t3 - t0, 3)}))
 
-    base = "http://localhost:4040/api/v1"
+    # uiWebUrl, not a hard-coded :4040 — Spark walks to the next free
+    # port when another session holds the default one
+    base = f"{spark.sparkContext.uiWebUrl}/api/v1"
     appid = json.load(urllib.request.urlopen(f"{base}/applications"))[0]["id"]
     stages = json.load(urllib.request.urlopen(
         f"{base}/applications/{appid}/stages?status=complete"))
